@@ -1,0 +1,5 @@
+"""Model zoo. Importing this package registers every model factory."""
+
+from dgvcc_tpu.models import dg  # noqa: F401
+
+__all__ = ["dg"]

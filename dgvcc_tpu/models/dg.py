@@ -1,0 +1,278 @@
+"""The DGModel family — the paper's contribution.
+
+Re-design of /root/reference/models/models.py:29-335 (DGModel_base /
+mem / memadd / cls / memcls / final) as one configurable flax module:
+
+  * VGG16-BN encoder split at torchvision features [:23] / [23:33] /
+    [33:43] → strides 4 / 8 / 16 with 256 / 512 / 512 channels;
+  * U-Net-ish decoder; multi-scale concat (128+256+512 ch at stride 4);
+  * optional attention **memory bank** (models.py:116-125): every pixel
+    feature is re-expressed as a convex combination of mem_size learned
+    domain-invariant prototypes — two batched matmuls + a softmax,
+    which XLA maps straight onto the MXU;
+  * optional **foreground classifier head** on the stride-16 features
+    (models.py:193-198);
+  * two-view consistency training (models.py:298-335): instance-norm
+    error masking, channel dropout, JSD-as-MSE on memory logits.
+
+Everything is NHWC and static-shaped; train/eval switches are Python
+bools (static under jit), so each mode compiles to one fused program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgvcc_tpu.core.registry import MODELS
+from dgvcc_tpu.nn.layers import ConvBlock, Dropout2d, dropout2d, instance_norm, upsample
+from dgvcc_tpu.nn.vgg import vgg16bn_stage
+
+
+class MemoryBank(nn.Module):
+    """Attention over a learned prototype bank (reference models.py:116-125).
+
+    y: (B, H, W, K). logits[b, p, s] = <y[b,p,:], mem[:,s]> / sqrt(K);
+    attention softmax over the prototype axis s; output is the convex
+    combination of prototypes. Both contractions are MXU matmuls of
+    shape (HW, K) x (K, S) and (HW, S) x (S, K).
+    """
+
+    mem_size: int = 1024
+    mem_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        b, h, w, k = y.shape
+        mem = self.param(
+            "mem",
+            lambda rng: jax.random.normal(rng, (k, self.mem_size), jnp.float32),
+        ).astype(self.dtype)
+        y_flat = y.reshape(b, h * w, k)
+        logits = jnp.einsum(
+            "bpk,ks->bps", y_flat, mem, preferred_element_type=jnp.float32
+        ) / math.sqrt(k)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        y_new = jnp.einsum(
+            "bps,sk->bpk", attn, mem.T, preferred_element_type=jnp.float32
+        ).astype(y.dtype)
+        return y_new.reshape(b, h, w, k), logits
+
+
+def jsd_as_mse(logits1: jnp.ndarray, logits2: jnp.ndarray) -> jnp.ndarray:
+    """Consistency loss: MSE between prototype softmaxes (models.py:148-158).
+
+    The reference calls it jsd but computes F.mse_loss(softmax, softmax).
+    Softmax over the prototype axis (our last axis).
+    """
+    p1 = jax.nn.softmax(logits1.astype(jnp.float32), axis=-1)
+    p2 = jax.nn.softmax(logits2.astype(jnp.float32), axis=-1)
+    return jnp.mean((p1 - p2) ** 2)
+
+
+class DGModel(nn.Module):
+    """Configurable DG counter. Variants (reference class → flags):
+
+    base    → use_mem=False, use_cls=False
+    mem     → use_mem=True,  use_cls=False
+    memadd  → mem + two-view forward_train (no cls)
+    cls     → use_mem=False, use_cls=True
+    memcls  → use_mem=True,  use_cls=True
+    final   → memcls + two-view forward_train with cls-map fusion
+    """
+
+    use_mem: bool = False
+    use_cls: bool = False
+    mem_size: int = 1024
+    mem_dim: int = 256
+    den_dropout: float = 0.5
+    cls_dropout: float = 0.5
+    cls_thrs: float = 0.5
+    err_thrs: float = 0.5
+    has_err_loss: bool = False
+    # base/mem apply Dropout2d inside den_dec (models.py:55-58,107-110);
+    # memadd/final leave den_dec dropout-free and apply masked dropout in
+    # forward_train (models.py:144-146,282-284). 'auto' resolves by variant.
+    den_dec_dropout: bool = True
+    pretrained: bool = True  # honored by the weight loader, not the graph
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.enc1 = vgg16bn_stage(0, 23, dtype=self.dtype)
+        self.enc2 = vgg16bn_stage(23, 33, dtype=self.dtype)
+        self.enc3 = vgg16bn_stage(33, 43, dtype=self.dtype)
+
+        self.dec3 = [
+            ConvBlock(1024, bn=True, dtype=self.dtype),
+            ConvBlock(512, bn=True, dtype=self.dtype),
+        ]
+        self.dec2 = [
+            ConvBlock(512, bn=True, dtype=self.dtype),
+            ConvBlock(256, bn=True, dtype=self.dtype),
+        ]
+        self.dec1 = [
+            ConvBlock(256, bn=True, dtype=self.dtype),
+            ConvBlock(128, bn=True, dtype=self.dtype),
+        ]
+
+        den_ch = self.mem_dim if self.use_mem else 256
+        self.den_dec = ConvBlock(den_ch, kernel_size=1, padding=0, bn=True, dtype=self.dtype)
+        self.den_drop = Dropout2d(self.den_dropout)
+        self.den_head = ConvBlock(1, kernel_size=1, padding=0, dtype=self.dtype)
+
+        if self.use_mem:
+            self.memory = MemoryBank(self.mem_size, self.mem_dim, dtype=self.dtype)
+        if self.use_cls:
+            self.cls_conv1 = ConvBlock(256, bn=True, dtype=self.dtype)
+            self.cls_drop = Dropout2d(self.cls_dropout)
+            self.cls_conv2 = ConvBlock(1, kernel_size=1, padding=0, relu=False, dtype=self.dtype)
+
+    # ---- building blocks -------------------------------------------------
+
+    def forward_fe(self, x, train: bool = False):
+        """Encoder + decoder; returns (multi-scale concat, stride-16 feats).
+
+        Parity: models.py:64-87. y_cat = [dec1(128), up2(dec2(256)),
+        up4(dec3(512))] at stride 4 → 896 channels.
+        """
+        x1 = self.enc1(x, train=train)   # stride 4, 256
+        x2 = self.enc2(x1, train=train)  # stride 8, 512
+        x3 = self.enc3(x2, train=train)  # stride 16, 512
+
+        y = x3
+        for blk in self.dec3:
+            y = blk(y, train=train)
+        y3 = y
+        y = upsample(y, 2)
+        y = jnp.concatenate([y, x2], axis=-1)
+        for blk in self.dec2:
+            y = blk(y, train=train)
+        y2 = y
+        y = upsample(y, 2)
+        y = jnp.concatenate([y, x1], axis=-1)
+        for blk in self.dec1:
+            y = blk(y, train=train)
+        y1 = y
+
+        y_cat = jnp.concatenate([y1, upsample(y2, 2), upsample(y3, 4)], axis=-1)
+        return y_cat, x3
+
+    def _den_features(self, y_cat, train: bool):
+        y = self.den_dec(y_cat, train=train)
+        if self.den_dec_dropout:
+            y = self.den_drop(y, train=train)
+        return y
+
+    def cls_head(self, x3, train: bool = False):
+        """Foreground classifier on stride-16 features (models.py:193-198)."""
+        c = self.cls_conv1(x3, train=train)
+        c = self.cls_drop(c, train=train)
+        c = self.cls_conv2(c, train=train)
+        return nn.sigmoid(c)
+
+    def transform_cls_map_gt(self, c_gt):
+        return upsample(c_gt, 4, mode="nearest")
+
+    def transform_cls_map_pred(self, c):
+        c_bin = jax.lax.stop_gradient(jnp.where(c >= self.cls_thrs, 1.0, 0.0))
+        return upsample(c_bin.astype(c.dtype), 4, mode="nearest")
+
+    # ---- inference forward -----------------------------------------------
+
+    def __call__(self, x, c_gt=None, train: bool = False):
+        """Single-view forward. Returns density map, plus the cls map when
+        the variant has a classifier (parity: models.py:89-96,127-136,
+        217-228, 261-273)."""
+        y_cat, x3 = self.forward_fe(x, train=train)
+        y_den = self._den_features(y_cat, train)
+        if self.use_mem:
+            y_den, _ = self.memory(y_den)
+        d = self.den_head(y_den, train=train)
+        if self.use_cls:
+            c = self.cls_head(x3, train=train)
+            c_resized = (
+                self.transform_cls_map_gt(c_gt)
+                if c_gt is not None
+                else self.transform_cls_map_pred(c)
+            )
+            dc = upsample(d * c_resized, 4)
+            return dc, c
+        return upsample(d, 4)
+
+    # ---- two-view training forward ----------------------------------------
+
+    def forward_train(self, img1, img2, c_gt=None):
+        """Two-view consistency training (models.py:160-184, 298-335).
+
+        Without cls (memadd): returns (d1, d2, loss_con).
+        With cls (final): returns (dc1, dc2, c1, c2, c_err, loss_con, loss_err).
+        """
+        train = True
+        y_cat1, x3_1 = self.forward_fe(img1, train=train)
+        y_cat2, x3_2 = self.forward_fe(img2, train=train)
+        y_den1 = self._den_features(y_cat1, train)
+        y_den2 = self._den_features(y_cat2, train)
+
+        y_in1 = instance_norm(y_den1.astype(jnp.float32))
+        y_in2 = instance_norm(y_den2.astype(jnp.float32))
+        e_mask = jax.lax.stop_gradient(
+            (jnp.abs(y_in1 - y_in2) < self.err_thrs).astype(y_den1.dtype)
+        )
+        loss_err = (
+            jnp.mean(jnp.abs(y_in1 - y_in2)) if self.has_err_loss else jnp.float32(0.0)
+        )
+
+        rng1 = self.make_rng("dropout")
+        rng2 = self.make_rng("dropout")
+        y_m1 = dropout2d(y_den1 * e_mask, self.den_dropout, rng1)
+        y_m2 = dropout2d(y_den2 * e_mask, self.den_dropout, rng2)
+
+        y_new1, logits1 = self.memory(y_m1)
+        y_new2, logits2 = self.memory(y_m2)
+        loss_con = jsd_as_mse(logits1, logits2)
+
+        d1 = self.den_head(y_new1, train=train)
+        d2 = self.den_head(y_new2, train=train)
+
+        if not self.use_cls:
+            return upsample(d1, 4), upsample(d2, 4), loss_con
+
+        c1 = self.cls_head(x3_1, train=train)
+        c2 = self.cls_head(x3_2, train=train)
+        c_resized_gt = self.transform_cls_map_gt(c_gt)
+        c_r1 = self.transform_cls_map_pred(c1)
+        c_r2 = self.transform_cls_map_pred(c2)
+        c_err = jnp.abs(c_r1 - c_r2)
+        c_resized = jnp.clip(c_resized_gt + c_err, 0.0, 1.0)
+
+        dc1 = upsample(d1 * c_resized, 4)
+        dc2 = upsample(d2 * c_resized, 4)
+        c_err = upsample(c_err, 4)
+        return dc1, dc2, c1, c2, c_err, loss_con, loss_err
+
+
+def _variant(name, **flags):
+    def build(**params):
+        kw = dict(flags)
+        # accept the reference YAML param names verbatim (configs/*.yml)
+        for k in ("mem_size", "mem_dim", "den_dropout", "cls_dropout",
+                  "cls_thrs", "err_thrs", "has_err_loss", "pretrained", "dtype"):
+            if k in params:
+                kw[k] = params[k]
+        return DGModel(**kw)
+
+    MODELS.register(name, build)
+    return build
+
+
+dg_base = _variant("base", use_mem=False, use_cls=False, den_dec_dropout=True)
+dg_mem = _variant("mem", use_mem=True, use_cls=False, den_dec_dropout=True)
+dg_memadd = _variant("memadd", use_mem=True, use_cls=False, den_dec_dropout=False)
+dg_cls = _variant("cls", use_mem=False, use_cls=True, den_dec_dropout=True)
+dg_memcls = _variant("memcls", use_mem=True, use_cls=True, den_dec_dropout=True)
+dg_final = _variant("final", use_mem=True, use_cls=True, den_dec_dropout=False)

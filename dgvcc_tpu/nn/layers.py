@@ -1,0 +1,112 @@
+"""Flax building blocks shared by every model.
+
+NHWC everywhere (TPU-native layout). Parity notes reference the
+DGVCC sources they re-create, e.g. ConvBlock mirrors
+/root/reference/models/models.py:8-21 (conv → optional BN → optional
+ReLU, conv bias off by default).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBlock(nn.Module):
+    """conv(+BN)(+ReLU) — reference models.py:8-21.
+
+    BatchNorm uses running averages at eval (``use_running_average=not
+    train``) with torch's default momentum 0.1 (flax momentum = 0.9) and
+    eps 1e-5 to match nn.BatchNorm2d.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    bn: bool = False
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+def upsample(x: jnp.ndarray, scale_factor: int = 2, mode: str = "bilinear") -> jnp.ndarray:
+    """NHWC spatial upsample; parity with F.interpolate (models.py:23-27).
+
+    ``bilinear`` matches torch align_corners=False (half-pixel centers =
+    jax.image 'linear'); ``nearest`` matches torch's floor-index nearest.
+    """
+    n, h, w, c = x.shape
+    new_shape = (n, h * scale_factor, w * scale_factor, c)
+    if mode == "nearest":
+        # torch nearest: out[i] = in[floor(i / scale)] — exact via repeat
+        x = jnp.repeat(x, scale_factor, axis=1)
+        x = jnp.repeat(x, scale_factor, axis=2)
+        return x
+    return jax.image.resize(x, new_shape, method="linear")
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-(sample, channel) spatial standardization; F.instance_norm parity.
+
+    No affine params (reference calls the functional form,
+    models.py:303-304). NHWC: reduce over H, W.
+    """
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def dropout2d(x: jnp.ndarray, rate: float, rng: jax.Array, deterministic: bool = False) -> jnp.ndarray:
+    """Channel dropout (torch nn.Dropout2d): zero whole channels, scale by 1/(1-p).
+
+    NHWC: mask shape (N, 1, 1, C).
+    """
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, shape=(x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class Dropout2d(nn.Module):
+    """Module wrapper over :func:`dropout2d` drawing from the 'dropout' rng."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        return dropout2d(x, self.rate, self.make_rng("dropout"), deterministic=False)
+
+
+def concat_channels(xs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Channel concat (NHWC last axis) — torch cat(dim=1) analog."""
+    return jnp.concatenate(xs, axis=-1)

@@ -1,0 +1,61 @@
+"""Train state: params + batch_stats + optimizer state, one pytree.
+
+Unlike the reference (which checkpoints model weights only —
+trainers/trainer.py:46-47), the full state including optimizer moments
+and epoch counter is a single pytree, so checkpoint/resume is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
+            opt_state=new_opt_state,
+        )
+
+    def set_learning_rate(self, lr: float) -> "TrainState":
+        """Works with optax.inject_hyperparams-wrapped optimizers."""
+        opt_state = self.opt_state
+        if hasattr(opt_state, "hyperparams"):
+            hp = dict(opt_state.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            opt_state = opt_state._replace(hyperparams=hp)
+        return self.replace(opt_state=opt_state)
+
+
+def create_train_state(model, rng, sample_input, tx, train_kwargs: Optional[Dict] = None):
+    """Initialize model variables and optimizer state."""
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "dropout": dropout_rng}, sample_input,
+        **(train_kwargs or {}),
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

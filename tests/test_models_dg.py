@@ -1,0 +1,115 @@
+"""Shape/finiteness tests for the DG model family (all 6 variants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgvcc_tpu.core.registry import MODELS
+import dgvcc_tpu.models  # noqa: F401  (registers factories)
+
+H = W = 64  # multiple of 16 (stride-16 encoder tail)
+
+
+def init_model(name, **params):
+    model = MODELS.build(name, **params)
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    return model, variables
+
+
+@pytest.mark.parametrize("name", ["base", "mem"])
+def test_forward_density_only(name):
+    model, variables = init_model(name)
+    x = jnp.ones((2, H, W, 3), jnp.float32)
+    d = model.apply(variables, x)
+    assert d.shape == (2, H, W, 1)
+    assert bool(jnp.isfinite(d).all())
+    assert bool((d >= 0).all())  # den_head ends in ReLU
+
+
+@pytest.mark.parametrize("name", ["cls", "memcls", "final"])
+def test_forward_with_cls(name):
+    model, variables = init_model(name)
+    x = jnp.ones((2, H, W, 3), jnp.float32)
+    d, c = model.apply(variables, x)
+    assert d.shape == (2, H, W, 1)
+    assert c.shape == (2, H // 16, W // 16, 1)
+    assert bool((c >= 0).all() and (c <= 1).all())  # sigmoid
+
+    # training path with gt cls map
+    c_gt = jnp.ones((2, H // 16, W // 16, 1), jnp.float32)
+    d2, _ = model.apply(
+        variables, x, c_gt=c_gt, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )[0]
+    assert d2.shape == (2, H, W, 1)
+
+
+def test_forward_train_memadd():
+    model, variables = init_model("memadd")
+    x1 = jnp.ones((2, H, W, 3), jnp.float32)
+    x2 = x1 * 0.5
+    (d1, d2, loss_con), _ = model.apply(
+        variables, x1, x2,
+        method=model.forward_train,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+    assert d1.shape == d2.shape == (2, H, W, 1)
+    assert loss_con.shape == ()
+    assert bool(jnp.isfinite(loss_con))
+
+
+def test_forward_train_final():
+    model, variables = init_model("final", has_err_loss=True)
+    x1 = jnp.ones((2, H, W, 3), jnp.float32)
+    x2 = x1 * 0.5
+    c_gt = jnp.zeros((2, H // 16, W // 16, 1), jnp.float32)
+    out, _ = model.apply(
+        variables, x1, x2, c_gt,
+        method=model.forward_train,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+    dc1, dc2, c1, c2, c_err, loss_con, loss_err = out
+    assert dc1.shape == dc2.shape == (2, H, W, 1)
+    assert c1.shape == c2.shape == (2, H // 16, W // 16, 1)
+    assert c_err.shape == (2, H // 4 * 4, W // 4 * 4, 1)[0:1] + (H, W, 1)
+    assert bool(jnp.isfinite(loss_con)) and bool(jnp.isfinite(loss_err))
+
+
+def test_memory_bank_math():
+    """The memory attention re-expresses features as convex combos of
+    prototypes: rows of the output lie in the prototype span, and the
+    attention is a proper softmax (rows sum to 1)."""
+    from dgvcc_tpu.models.dg import MemoryBank
+
+    mb = MemoryBank(mem_size=16, mem_dim=8)
+    y = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 8))
+    variables = mb.init(jax.random.PRNGKey(1), y)
+    y_new, logits = mb.apply(variables, y)
+    assert y_new.shape == y.shape
+    assert logits.shape == (1, 16, 16)
+    attn = jax.nn.softmax(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, rtol=1e-5)
+    # output rows live in span(mem): residual of least-squares fit ~ 0
+    mem = np.asarray(variables["params"]["mem"])  # (k, S): prototypes are columns
+    yn = np.asarray(y_new).reshape(-1, 8)
+    coef, *_ = np.linalg.lstsq(mem, yn.T, rcond=None)
+    np.testing.assert_allclose(mem @ coef, yn.T, atol=1e-4)
+
+
+def test_variant_param_flags():
+    import flax
+
+    _, v_base = init_model("base")
+    flat = flax.traverse_util.flatten_dict(v_base["params"], sep="/")
+    assert not any("mem" in k for k in flat)
+    _, v_final = init_model("final")
+    flat = flax.traverse_util.flatten_dict(v_final["params"], sep="/")
+    assert any(k.endswith("/mem") for k in flat)
+    assert any("cls_conv1" in k for k in flat)

@@ -1,0 +1,127 @@
+"""End-to-end train-step tests: loss decreases, shard_map parallel step
+runs on the virtual 8-device CPU mesh and matches the single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgvcc_tpu.core.registry import MODELS, LOSSES
+import dgvcc_tpu.models  # noqa: F401
+import dgvcc_tpu.losses  # noqa: F401
+from dgvcc_tpu.train.state import create_train_state
+from dgvcc_tpu.train.steps import build_train_step, jit_train_step
+from dgvcc_tpu.train.optim import build_optimizer
+from dgvcc_tpu.parallel import make_mesh, shard_batch, build_parallel_train_step
+from dgvcc_tpu.parallel.mesh import replicate
+
+H = W = 32
+B = 8
+
+
+def synth_batch(rng, with_second_view=True, with_bmap=True):
+    batch = {
+        "img1": rng.normal(size=(B, H, W, 3)).astype(np.float32),
+        "dmap": rng.uniform(0, 0.01, size=(B, H, W, 1)).astype(np.float32),
+    }
+    if with_second_view:
+        batch["img2"] = batch["img1"] + 0.1 * rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    if with_bmap:
+        batch["bmap"] = (rng.uniform(size=(B, H // 16, W // 16, 1)) > 0.5).astype(np.float32)
+    return batch
+
+
+def make_state(name, tx=None, **params):
+    model = MODELS.build(name, **params)
+    tx = tx or build_optimizer({"name": "adamw", "params": {"lr": 1e-4}})
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), tx
+    )
+    return model, state
+
+
+@pytest.mark.parametrize("mode,model_name", [
+    ("simple", "base"),
+    ("base", "base"),
+    ("add", "memadd"),
+    ("cls", "cls"),
+    ("final", "final"),
+])
+def test_train_step_runs_and_learns(mode, model_name):
+    model, state = make_state(model_name)
+    loss = LOSSES.build("mse")
+    step = jit_train_step(build_train_step(model, loss, mode, log_para=1000.0))
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(rng).items()}
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), jnp.int32(0))
+        losses.append(float(metrics["loss_total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch thrice → must improve
+
+
+class _PlainConvNet:
+    """BN/dropout-free toy counter: grads are linear in the batch, so
+    pmean-of-shard-grads == full-batch grads exactly."""
+
+    def __new__(cls):
+        from flax import linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = nn.Conv(8, (3, 3), padding=1)(x)
+                x = nn.relu(x)
+                x = nn.Conv(1, (1, 1))(x)
+                return x
+
+        return Net()
+
+
+def test_parallel_step_exact_on_linear_model():
+    mesh = make_mesh(8)
+    model = _PlainConvNet()
+    tx = build_optimizer({"name": "sgd", "params": {"lr": 0.1}})
+    state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), tx)
+    loss = LOSSES.build("mse")
+
+    rng = np.random.default_rng(1)
+    batch_np = synth_batch(rng, with_second_view=False, with_bmap=False)
+
+    single = jit_train_step(build_train_step(model, loss, "simple", 1000.0), donate=False)
+    state_s, m_s = single(state, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                          jax.random.PRNGKey(42), jnp.int32(0))
+
+    par = build_parallel_train_step(model, loss, "simple", 1000.0, mesh, donate=False)
+    state_p, m_p = par(replicate(mesh, state), shard_batch(mesh, batch_np),
+                       jax.random.PRNGKey(42), jnp.int32(0))
+
+    assert float(m_p["loss_total"]) == pytest.approx(float(m_s["loss_total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(state_s.params), jax.tree.leaves(jax.device_get(state_p.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_parallel_step_dg_model_runs_and_stays_replicated():
+    """Full DG 'final' mode under shard_map: runs, finite, and the
+    updated state is identical on every device (grads were pmean'd)."""
+    mesh = make_mesh(8)
+    model, state = make_state("final")
+    loss = LOSSES.build("mse")
+    par = build_parallel_train_step(model, loss, "final", 1000.0, mesh, donate=False)
+
+    rng = np.random.default_rng(2)
+    batch = shard_batch(mesh, synth_batch(rng))
+    state_p, metrics = par(replicate(mesh, state), batch,
+                           jax.random.PRNGKey(0), jnp.int32(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    # replicated output sharding → a fully-addressable single array per leaf
+    leaf = jax.tree.leaves(state_p.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_scheduler_lr_injection():
+    model, state = make_state("base")
+    state2 = state.set_learning_rate(3e-3)
+    assert float(state2.opt_state.hyperparams["learning_rate"]) == pytest.approx(3e-3)
