@@ -1,0 +1,70 @@
+"""Headline benchmark: frames/sec/chip of per-frame density inference.
+
+Workload: DGModel 'final' (the flagship DG counter) running whole-frame
+density regression on 768x1024 frames — the video crowd-counting
+serving path (BASELINE.json north star). Inference runs in bfloat16
+(TPU-native precision for conv/matmul; density sums reduce in f32).
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.md). The driver target is >=3x A100 frames/sec/chip. We
+estimate the reference's A100 throughput from its compute profile:
+DGModel_final forward at 768x1024 is ~0.9 TFLOP/frame; torch fp32
+(no AMP in the reference for this model, trainers run fp32) on A100
+(19.5 TFLOP/s fp32, ~45% conv efficiency) ~= 10 frames/s. Target =
+3 x 10 = 30 frames/s. vs_baseline = measured_fps / 30.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_EST_FPS = 10.0
+TARGET_MULTIPLIER = 3.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+
+    H, W, B = 768, 1024, 4
+    model = MODELS.build("final", dtype=jnp.bfloat16)
+    init_x = jnp.zeros((1, H, W, 3), jnp.bfloat16)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, init_x
+    )
+
+    @jax.jit
+    def infer(variables, frames):
+        d, _ = model.apply(variables, frames)
+        # per-frame counts: the serving output (f32 reduction)
+        return jnp.sum(d.astype(jnp.float32), axis=(1, 2, 3)) / 1000.0
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32), jnp.bfloat16)
+
+    # NOTE: through the axon relay, block_until_ready does not actually
+    # wait for device completion — the only true sync is a host
+    # readback. Every timed iteration therefore reads back the (tiny)
+    # per-frame counts, which is also exactly what serving would do.
+    np.asarray(infer(variables, frames))  # compile + sync
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(infer(variables, frames))
+        times.append(time.perf_counter() - t0)
+    fps = B / float(np.median(times))
+    print(json.dumps({
+        "metric": "DGModel_final density inference frames/sec/chip (768x1024, bf16)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / (A100_EST_FPS * TARGET_MULTIPLIER), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

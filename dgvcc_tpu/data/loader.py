@@ -1,0 +1,101 @@
+"""Host data loader: seeded shuffling, threaded decode, prefetch.
+
+Replaces torch DataLoader (reference main.py:124-129). Differences by
+design:
+
+  * deterministic per-sample RNG — sample i of epoch e is reproducible
+    from (seed, e, i) regardless of worker count (the reference's
+    get_seeded_generator ignores its seed, utils/misc.py:139-142);
+  * threads instead of worker processes: PIL decode and numpy release
+    the GIL, and samples are numpy arrays ready for device_put;
+  * drop_last defaults to True for train loaders — static batch shapes
+    mean one XLA compile, the torch default's ragged tail batch would
+    recompile every epoch.
+"""
+
+from __future__ import annotations
+
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 num_workers: int = 0, drop_last: Optional[bool] = None,
+                 seed: int = 0, collate=None, prefetch: int = 2,
+                 pin_memory: bool = False):  # pin_memory: YAML compat no-op
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.seed = seed
+        self.collate = collate if collate is not None else type(dataset).collate
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rs = np.random.RandomState((self.seed * 1_000_003 + self.epoch) % (2**31))
+            rs.shuffle(idx)
+        return idx
+
+    def _fetch(self, index: int):
+        rng = random.Random(f"{self.seed}:{self.epoch}:{int(index)}")
+        return self.dataset.__getitem__(int(index), rng=rng)
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        n_batches = len(self)
+        batches = [idx[b * self.batch_size : (b + 1) * self.batch_size]
+                   for b in range(n_batches)]
+
+        if self.num_workers <= 0:
+            for b in batches:
+                samples = [self._fetch(i) for i in b]
+                yield self._assemble(samples)
+            return
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # keep `prefetch` batches in flight
+            pending = []
+            bi = 0
+            while bi < len(batches) or pending:
+                while bi < len(batches) and len(pending) <= self.prefetch:
+                    pending.append([pool.submit(self._fetch, i) for i in batches[bi]])
+                    bi += 1
+                futs = pending.pop(0)
+                yield self._assemble([f.result() for f in futs])
+
+    def _assemble(self, samples):
+        if self.batch_size == 1 and ("name" in samples[0]):
+            return samples[0]  # val/test: one raw sample dict
+        return self.collate(samples)
+
+
+def build_loader(dataset, spec: dict, seed: int = 0, collate=None) -> DataLoader:
+    """spec is the reference's {train,val,test}_loader YAML block."""
+    return DataLoader(
+        dataset,
+        batch_size=spec.get("batch_size", 1),
+        shuffle=spec.get("shuffle", False),
+        num_workers=spec.get("num_workers", 0),
+        drop_last=spec.get("drop_last"),
+        seed=seed,
+        collate=collate,
+        pin_memory=spec.get("pin_memory", False),
+    )

@@ -1,0 +1,298 @@
+"""Experiment trainer.
+
+Drives the jitted per-mode train steps (train/steps.py) with the
+reference's experiment protocol (/root/reference/trainers/trainer.py:20,
+trainers/dgtrainer.py:27): epoch loop → per-epoch scheduler step →
+per-image validation (MAE criterion, MSE extra) → rolling last/best
+checkpoints; test with the hard-coded re-save thresholds; matplotlib
+visualization dumps; train_and_test that tests only when val improves.
+
+TPU-native differences:
+  * the train step is ONE compiled program per mode (no per-batch
+    Python dispatch or host sync except the scalar loss readback);
+  * validation counts via bucketed static-shape tiling (ops/tiling.py);
+  * checkpoints carry optimizer state and epoch, so resume is exact;
+  * optional data-parallel mesh: batches shard over devices, grads and
+    batch stats sync via collectives (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgvcc_tpu.core.config import Config
+from dgvcc_tpu.core.logging import RunLogger
+from dgvcc_tpu.core.registry import DATASETS, LOSSES, MODELS
+from dgvcc_tpu.data.loader import build_loader
+from dgvcc_tpu.ops.tiling import TiledCounter
+from dgvcc_tpu.train.checkpoint import CheckpointRotator, load_checkpoint
+from dgvcc_tpu.train.optim import build_optimizer, build_scheduler
+from dgvcc_tpu.train.state import create_train_state
+from dgvcc_tpu.train.steps import build_train_step, jit_train_step
+from dgvcc_tpu.utils.misc import AverageMeter, DictAvgMeter, get_current_datetime, seed_everything
+
+
+class DGTrainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        seed_everything(cfg.seed)
+        self.log_dir = os.path.join(cfg.log_dir, cfg.version)
+        self.logger = RunLogger(self.log_dir)
+        self.rotator = CheckpointRotator(self.log_dir)
+        self.mode = cfg.mode
+        self.log_para = float(cfg.log_para)
+        self.patch_size = cfg.patch_size
+        self._built = False
+
+    # ---- construction ----------------------------------------------------
+
+    def log(self, msg, **kw):
+        self.logger.log(msg, **kw)
+
+    def build(self):
+        if self._built:
+            return
+        cfg = self.cfg
+        import dgvcc_tpu.models  # noqa: F401
+        import dgvcc_tpu.losses  # noqa: F401
+        import dgvcc_tpu.data  # noqa: F401
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = MODELS.build(cfg.model["name"], dtype=dtype,
+                                  **cfg.model.get("params", {}))
+        self.loss = LOSSES.build(cfg.loss["name"], **cfg.loss.get("params", {}))
+
+        self.loaders = {}
+        for split in ("train", "val", "test"):
+            spec = getattr(cfg, f"{split}_dataset")
+            if spec is None:
+                continue
+            ds = DATASETS.build(spec["name"], method=split, **spec.get("params", {}))
+            self.loaders[split] = build_loader(
+                ds, getattr(cfg, f"{split}_loader") or {}, seed=cfg.seed
+            )
+
+        self.tx = build_optimizer(cfg.optimizer)
+        base_lr = cfg.optimizer.get("params", {}).get("lr", 1e-3)
+        self.scheduler = build_scheduler(cfg.scheduler, base_lr)
+
+        crop = 64
+        if cfg.train_dataset is not None:
+            crop = cfg.train_dataset.get("params", {}).get("crop_size", 64)
+        sample = jnp.zeros((1, crop, crop, 3), jnp.float32)
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), sample, self.tx
+        )
+
+        self.train_step = jit_train_step(
+            build_train_step(self.model, self.loss, self.mode, self.log_para),
+            donate=cfg.donate,
+        )
+
+        def apply_fn(variables, tiles):
+            return self.model.apply(variables, tiles)
+
+        self.counter = TiledCounter(apply_fn, self.log_para, self.patch_size)
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._built = True
+
+    def _variables(self):
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    def load_ckpt(self, path):
+        if path is None:
+            return
+        self.log(f"Loading checkpoint from {path}")
+        self.state, extra, warnings = load_checkpoint(path, self.state)
+        for w in warnings[:10]:
+            self.log(f"  [ckpt] {w}")
+
+    # ---- loops -------------------------------------------------------------
+
+    def train_epoch(self, epoch: int, best_criterion: float, best_epoch: int):
+        start = time.time()
+        if self.scheduler is not None:
+            self.state = self.state.set_learning_rate(self.scheduler.current_lr)
+
+        train_loader = self.loaders["train"]
+        train_loader.set_epoch(epoch)
+        train_loss = float("nan")
+        for batch in train_loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("img1", "img2", "dmap", "bmap", "points",
+                              "pt_mask", "targets", "st_sizes")}
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(
+                self.state, batch, step_rng, jnp.int32(epoch)
+            )
+            train_loss = float(metrics["loss_total"])
+        self.log(f"Epoch {epoch}: Training loss: {train_loss:.4f} "
+                 f"Version: {self.cfg.version}")
+
+        # scheduler steps per epoch, before validation (trainer.py:82-87)
+        prev_criterion = getattr(self, "_last_criterion", None)
+        if self.scheduler is not None:
+            self.scheduler.step(prev_criterion)
+
+        criterion = self.validate(epoch, best_criterion)
+        self._last_criterion = criterion
+
+        self.rotator.save_last(self.state, {"epoch": epoch, "best": best_criterion})
+        if criterion < best_criterion:
+            best_criterion = criterion
+            best_epoch = epoch
+            self.log(f"Epoch {epoch}: saving best model...")
+            self.rotator.save_best(self.state, epoch, criterion)
+        return best_criterion, best_epoch
+
+    def validate(self, epoch: int, best_criterion: float) -> float:
+        crit = AverageMeter()
+        extra = DictAvgMeter()
+        start = time.time()
+        variables = self._variables()
+        for sample in self.loaders["val"]:
+            pred = self.counter.count(variables, sample["img1"])
+            gt_count = float(len(sample["gt"]))
+            mae = abs(pred - gt_count)
+            crit.update(mae)
+            extra.update({"mse": (pred - gt_count) ** 2})
+        self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
+        for k, v in extra.avg.items():
+            self.log(f"{k}: {v:.4f}", end=" ")
+        self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
+        return crit.avg
+
+    def train(self, checkpoint=None, num_epochs: Optional[int] = None):
+        self.build()
+        self.log(f"Start training at {get_current_datetime()}")
+        self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
+        best_criterion, best_epoch = 1e10, -1
+        for epoch in range(num_epochs or self.cfg.num_epochs):
+            best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
+        self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
+        self.log(f"Training results saved to {self.log_dir}")
+        self.log(f"End training at {get_current_datetime()}")
+        return best_criterion, best_epoch
+
+    def test(self, checkpoint=None, loader=None):
+        self.build()
+        self.log(f"Start testing at {get_current_datetime()}")
+        if checkpoint is not None:
+            self.load_ckpt(checkpoint)
+        loader = loader or self.loaders["test"]
+        meter = DictAvgMeter()
+        variables = self._variables()
+        for sample in loader:
+            pred = self.counter.count(variables, sample["img1"])
+            gt_count = float(len(sample["gt"]))
+            meter.update({"mae": abs(pred - gt_count),
+                          "mse": (pred - gt_count) ** 2})
+        self.log("Testing results:", end=" ")
+        for k, v in meter.avg.items():
+            self.log(f"{k}: {v:.4f}", end=" ")
+        self.log("")
+
+        # hard-coded re-save thresholds (trainer.py:154-160)
+        test_mae = meter.avg["mae"]
+        threshold = 15.5 if self.cfg.version.startswith("sta") else 105
+        if test_mae < threshold:
+            self.log("Saving test model...")
+            self.rotator.save_test(self.state, test_mae)
+        self.log(f"Testing results saved to {self.log_dir}")
+        self.log(f"End testing at {get_current_datetime()}")
+        return meter.avg
+
+    def train_and_test(self, checkpoint=None, num_epochs: Optional[int] = None):
+        """Test on the target domain only when val improves
+        (dgtrainer.py:301-327)."""
+        self.build()
+        self.log(f"Start training and testing at {get_current_datetime()}")
+        self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
+        best_criterion, best_epoch = 1e10, -1
+        for epoch in range(num_epochs or self.cfg.num_epochs):
+            prev = best_criterion
+            best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
+            if best_criterion < prev:
+                self.test()
+        self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
+        self.log(f"Training results saved to {self.log_dir}")
+        self.log(f"End training and testing at {get_current_datetime()}")
+        return best_criterion, best_epoch
+
+    # ---- visualization -----------------------------------------------------
+
+    def vis(self, checkpoint=None):
+        self.build()
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from dgvcc_tpu.utils.misc import denormalize
+
+        self.log(f"Start visualization at {get_current_datetime()}")
+        if checkpoint is not None:
+            self.load_ckpt(checkpoint)
+        vis_dir = os.path.join(self.log_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        variables = self._variables()
+        has_cls = getattr(self.model, "use_cls", False) and self.mode != "base"
+
+        for sample in self.loaders["test"]:
+            name = sample["name"]
+            img1 = sample["img1"]
+            img2 = sample.get("img2", img1)
+            gt_count = len(sample["gt"])
+
+            dmap1 = self.counter.density_map(variables, img1)
+            dmap2 = self.counter.density_map(variables, img2)
+            c1 = self.counter.count(variables, img1)
+            c2 = self.counter.count(variables, img2)
+            im1 = np.clip(denormalize(img1), 0, 1)
+            im2 = np.clip(denormalize(img2), 0, 1)
+
+            if not has_cls:
+                datas = [im1, dmap1, im2, dmap2]
+                titles = [name, f"Pred1: {c1:.2f}", f"GT: {gt_count}", f"Pred2: {c2:.2f}"]
+                fig = plt.figure(figsize=(10, 6))
+                for i, (d, t) in enumerate(zip(datas, titles)):
+                    ax = fig.add_subplot(2, 2, i + 1)
+                    ax.set_title(t)
+                    ax.imshow(d)
+            else:
+                cmap1 = self._cls_map(variables, img1)
+                cmap2 = self._cls_map(variables, img2)
+                datas = [im1, dmap1, cmap1, im2, dmap2, cmap2]
+                titles = [name, f"Pred1: {c1:.2f}", "Cls1",
+                          f"GT: {gt_count}", f"Pred2: {c2:.2f}", "Cls2"]
+                fig = plt.figure(figsize=(15, 6))
+                for i, (d, t) in enumerate(zip(datas, titles)):
+                    ax = fig.add_subplot(2, 3, i + 1)
+                    ax.set_title(t)
+                    ax.imshow(d)
+                plt.imsave(os.path.join(vis_dir, f"{name}_Cls.png"), cmap1)
+                plt.imsave(os.path.join(vis_dir, f"{name}_BCls.png"),
+                           (cmap1 >= 0.5).astype(np.float32))
+                plt.imsave(os.path.join(vis_dir, f"{name}_Pred_{c1:.2f}.png"), dmap1)
+            fig.savefig(os.path.join(vis_dir, f"{name}.png"))
+            plt.close(fig)
+        self.log(f"Visualization results saved to {self.log_dir}")
+        self.log(f"End visualization at {get_current_datetime()}")
+
+    def _cls_map(self, variables, img):
+        """Whole-image classifier map (stride-16, sigmoid probs)."""
+        h, w, _ = img.shape
+        tiles, _ = self.counter._whole_image(img)
+
+        @jax.jit
+        def run(variables, x):
+            out = self.model.apply(variables, x)
+            return out[1] if isinstance(out, tuple) else None
+
+        c = run(variables, jnp.asarray(tiles))
+        return np.asarray(c)[0, : h // 16, : w // 16, 0]
