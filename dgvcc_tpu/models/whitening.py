@@ -1,0 +1,293 @@
+"""DG-baseline counters: SW / IBN / ISW (+ SW-VGG).
+
+Reference: models/SW/__init__.py:4-42, models/ibnnet/__init__.py:11-28,
+models/ISW/__init__.py:21-122. All share the trunk-through-layer3
+(1024 ch, stride 16) + 3-conv head + bilinear x16 upsample shape.
+
+ISW three-phase protocol (ISW/__init__.py:70-122), made jit-pure:
+  (a) training forward returns [count_loss, whitening_loss] — the
+      whitening loss needs per-layer covariance MASKS, passed in as
+      arrays (no hidden Python state inside the compiled step);
+  (b) covariance-statistics pass: two augmented views are concatenated
+      and the per-layer variance-of-covariance returned; the host-side
+      :class:`IswCovTracker` accumulates them during validation
+      (replacing CovMatrix_ISW's mutable buffers, cov_settings.py:84-89);
+  (c) eval forward returns the density map.
+Mask selection (cov_settings.py:52-81) runs on host: top-k over the
+accumulated variance-of-covariance, with k from the relax_denom margin
+or from 1-D k-means cluster-0 counting (we implement Lloyd's k-means in
+numpy — the kmeans1d package is unavailable).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dgvcc_tpu.core.registry import MODELS
+from dgvcc_tpu.nn.layers import upsample
+from dgvcc_tpu.nn.resnet import ResNetTrunk
+from dgvcc_tpu.nn.vgg import VGGFeatures, VGG19_CFG
+from dgvcc_tpu.nn.whitening import (
+    SwitchWhiten,
+    get_covariance_matrix,
+    instance_whitening_loss,
+)
+
+SW_KW = dict(num_pergroup=16, sw_type=2, T=5, tie_weight=False, momentum=0.9,
+             affine=True)  # sw_cfg, models/SW/__init__.py:4-10
+
+
+class CountingHead(nn.Module):
+    """1024 → 512 → 256 → 1 conv head + bilinear x16 upsample
+    (SW/__init__.py:30-37 et al.)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(512, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
+        return upsample(x, 16)
+
+
+@MODELS.register("sw")
+class SWCounterResNet(nn.Module):
+    """SWCounter_ResNet (SW/__init__.py:24-42): resnet50-SW through
+    layer3 + head."""
+
+    pretrained: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        sw_kwargs = dict(SW_KW, axis_name=self.axis_name)
+        feats, _ = ResNetTrunk(
+            layers=(3, 4, 6, 3), num_stages=3, stem_norm="sw",
+            stage_sw=(True, True, True, False), sw_kwargs=sw_kwargs,
+            dtype=self.dtype, name="backbone",
+        )(x, train=train)
+        return CountingHead(dtype=self.dtype, name="head")(feats)
+
+
+@MODELS.register("sw_vgg")
+class SWCounterVGG(nn.Module):
+    """SWCounter_VGG (SW/__init__.py:12-22): VGG19 with SW after each
+    conv + reg head, x8 upsample. The reference vgg builder
+    (SW/backbones/vgg.py) appends a 512→256→128→1 reg_layer."""
+
+    pretrained: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        sw_kwargs = dict(SW_KW, axis_name=self.axis_name)
+        # VGG19 features through conv5_4 (stride 8: stop before pool4/5
+        # like the reference's dilated/truncated counting VGG)
+        ch = 3
+        idx = 0
+        for v in VGG19_CFG[:-9]:  # up to the 4th block, stride 8
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(v, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                            name=f"conv{idx}")(x)
+                x = SwitchWhiten(v, dtype=self.dtype, name=f"sw{idx}",
+                                 **sw_kwargs)(x, train=train)
+                x = nn.relu(x)
+                ch = v
+            idx += 1
+        x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="reg3")(x)
+        return upsample(x, 8)
+
+
+@MODELS.register("ibn")
+class IBNCounterResNet(nn.Module):
+    """IBNCounter_ResNet (ibnnet/__init__.py:11-28): resnet50_ibn_b
+    through layer3 + head. ibn_cfg ('b','b',None,None): IN(affine) stem
+    + post-residual IN in the last blocks of stages 1-2."""
+
+    pretrained: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats, _ = ResNetTrunk(
+            layers=(3, 4, 6, 3), num_stages=3, stem_norm="in_affine",
+            stage_post=("in", "in", None, None), dtype=self.dtype, name="backbone",
+        )(x, train=train)
+        return CountingHead(dtype=self.dtype, name="head")(feats)
+
+
+class _ISWNet(nn.Module):
+    """Trunk + head; returns (density, w_arr)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats, w_arr = ResNetTrunk(
+            layers=(3, 4, 6, 3), num_stages=3, stem_norm="iw",
+            stage_post=("iw", "iw", None, None), dtype=self.dtype, name="backbone",
+        )(x, train=train)
+        d = CountingHead(dtype=self.dtype, name="head")(feats)
+        return d, w_arr
+
+
+# channel widths of the three whitening sites (stem, layer1, layer2)
+ISW_WT_CHANNELS = (64, 256, 512)
+
+
+@MODELS.register("isw")
+class ISWCounterResNet(nn.Module):
+    """ISWCounter_ResNet (ISW/__init__.py:21-122), jit-pure.
+
+    __call__(x, train=False)                      → density map
+    __call__(x, gts=..., masks=..., num_sensitive=...,
+             apply_wtloss=..., train=True)        → [count_loss, wt_loss]
+    cov_stats(x2)                                 → per-layer var-of-cov
+        (x2 = concat of the two augmented views, ISW/__init__.py:73-104)
+    """
+
+    pretrained: bool = True
+    relax_denom: float = 2.0
+    clusters: int = 3
+    log_para: float = 1000.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.net = _ISWNet(dtype=self.dtype)
+
+    def __call__(self, x, gts=None, masks=None, num_sensitive=None,
+                 apply_wtloss=True, train: bool = False):
+        d, w_arr = self.net(x, train=train)
+        if not train:
+            return d
+        loss1 = jnp.mean((d.astype(jnp.float32) - gts.astype(jnp.float32)) ** 2)
+        wt_loss = jnp.float32(0.0)
+        if masks is not None:
+            for i, w in enumerate(w_arr):
+                wt_loss = wt_loss + instance_whitening_loss(
+                    w, masks[f"m{i}"], 0.0, num_sensitive[f"m{i}"]
+                )
+            wt_loss = wt_loss / len(w_arr)
+        wt_loss = jnp.where(jnp.asarray(apply_wtloss), wt_loss, 0.0)
+        return [loss1, wt_loss]
+
+    def cov_stats(self, x2):
+        """Variance (over the concatenated-view batch) of off-diagonal
+        covariance entries, per whitening site (ISW/__init__.py:93-104)."""
+        _, w_arr = self.net(x2, train=False)
+        out = {}
+        for i, w in enumerate(w_arr):
+            c = w.shape[-1]
+            f_cor = get_covariance_matrix(w)  # (B, C, C)
+            rev_eye = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)
+            off = f_cor * rev_eye
+            out[f"m{i}"] = jnp.var(off, axis=0, ddof=1)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side covariance tracking + mask selection (CovMatrix_ISW role)
+# ---------------------------------------------------------------------------
+
+def kmeans_1d(values: np.ndarray, k: int, iters: int = 50):
+    """Lloyd's 1-D k-means with quantile init. Returns (labels, centroids)
+    with centroids sorted ascending — cluster 0 = smallest values (the
+    'insensitive' covariances, cov_settings.py:57-59)."""
+    v = np.asarray(values, np.float64).ravel()
+    k = min(k, len(np.unique(v)))
+    cents = np.quantile(v, np.linspace(0, 1, k))
+    cents = np.unique(cents)
+    for _ in range(iters):
+        labels = np.argmin(np.abs(v[:, None] - cents[None, :]), axis=1)
+        new = np.array([v[labels == j].mean() if np.any(labels == j) else cents[j]
+                        for j in range(len(cents))])
+        if np.allclose(new, cents):
+            break
+        cents = new
+    order = np.argsort(cents)
+    remap = np.empty_like(order)
+    remap[order] = np.arange(len(order))
+    return remap[labels], cents[order]
+
+
+class IswCovTracker:
+    """Accumulates variance-of-covariance per whitening site and derives
+    the sensitive-entry masks (reference cov_settings.py:16-89)."""
+
+    def __init__(self, dims: Sequence[int] = ISW_WT_CHANNELS,
+                 relax_denom: float = 2.0, clusters: int = 3):
+        self.dims = list(dims)
+        self.relax_denom = relax_denom
+        self.clusters = clusters
+        self.reset()
+
+    def reset(self):
+        self.var = [None] * len(self.dims)
+        self.count = 0
+        self.masks: Optional[List[np.ndarray]] = None
+        self.num_sensitive = [0.0] * len(self.dims)
+
+    def add(self, var_covs: Dict[str, np.ndarray]):
+        for i in range(len(self.dims)):
+            v = np.asarray(var_covs[f"m{i}"], np.float64)
+            self.var[i] = v if self.var[i] is None else self.var[i] + v
+        self.count += 1
+
+    def has_stats(self) -> bool:
+        return self.count > 0
+
+    def set_mask_matrix(self):
+        """Select sensitive covariance entries (cov_settings.py:52-77)."""
+        masks, nums = [], []
+        for i, dim in enumerate(self.dims):
+            var_matrix = self.var[i] / max(self.count, 1)
+            flat = var_matrix.ravel()
+            num_off = dim * (dim - 1) // 2
+            if self.relax_denom == 0:
+                labels, _ = kmeans_1d(flat, self.clusters)
+                num_sensitive = int(flat.size - np.sum(labels == 0))
+            else:
+                margin = num_off // self.relax_denom
+                num_sensitive = int(num_off - margin)
+            idx = np.argsort(flat)[::-1][:num_sensitive]
+            m = np.zeros(flat.size, np.float32)
+            m[idx] = 1.0
+            m = m.reshape(dim, dim)
+            # intersect with a previously selected mask (cov_settings.py:69-72)
+            if self.masks is not None:
+                m = (self.masks[i].astype(np.int32) & m.astype(np.int32)).astype(np.float32)
+            masks.append(m)
+            nums.append(float(m.sum()))
+        self.masks = masks
+        self.num_sensitive = nums
+        self.var = [None] * len(self.dims)
+        self.count = 0
+
+    def mask_batch(self):
+        """Masks as jit-friendly dicts; identity-permissive default
+        (all-zero masks → zero wt loss) before any stats exist."""
+        if self.masks is None:
+            masks = [np.zeros((d, d), np.float32) for d in self.dims]
+            nums = [1.0] * len(self.dims)
+        else:
+            masks, nums = self.masks, self.num_sensitive
+        return (
+            {f"m{i}": jnp.asarray(m) for i, m in enumerate(masks)},
+            {f"m{i}": jnp.asarray(n, jnp.float32) for i, n in enumerate(nums)},
+        )

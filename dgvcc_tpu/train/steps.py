@@ -122,9 +122,17 @@ def build_loss_fn(model, loss, mode: str, log_para: float) -> Callable:
                            loss_con=loss_con, loss_err=loss_err)
 
         elif mode == "isw":
-            # model returns [task_loss, wt_loss] when training
-            out, nbs = apply(variables, batch["img1"],
-                             gts=batch["dmap"] * log_para, train=True, rng=rng)
+            # model returns [task_loss, wt_loss] when training; the
+            # sensitive-covariance masks come in through the batch
+            # (models/whitening.py IswCovTracker.mask_batch)
+            out, nbs = apply(
+                variables, batch["img1"],
+                gts=batch["dmap"] * log_para,
+                masks=batch.get("isw_masks"),
+                num_sensitive=batch.get("isw_nums"),
+                apply_wtloss=epoch > 5,
+                train=True, rng=rng,
+            )
             task_loss, wt_loss = out
             apply_wt = (epoch > 5).astype(jnp.float32)
             total = task_loss + 0.6 * apply_wt * wt_loss

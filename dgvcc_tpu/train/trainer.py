@@ -101,6 +101,22 @@ class DGTrainer:
 
         self.counter = TiledCounter(apply_fn, self.log_para, self.patch_size)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        # ISW two-pass covariance protocol (dgtrainer.py:86-102)
+        self.isw_tracker = None
+        if self.mode == "isw":
+            from dgvcc_tpu.models.whitening import IswCovTracker
+
+            self.isw_tracker = IswCovTracker(
+                relax_denom=cfg.model.get("params", {}).get("relax_denom", 2.0),
+                clusters=cfg.model.get("params", {}).get("clusters", 3),
+            )
+
+            @jax.jit
+            def cov_stats(variables, x2):
+                return self.model.apply(variables, x2, method=self.model.cov_stats)
+
+            self._cov_stats = cov_stats
         self._built = True
 
     def _variables(self):
@@ -124,10 +140,15 @@ class DGTrainer:
         train_loader = self.loaders["train"]
         train_loader.set_epoch(epoch)
         train_loss = float("nan")
+        isw_extra = {}
+        if self.isw_tracker is not None:
+            masks, nums = self.isw_tracker.mask_batch()
+            isw_extra = {"isw_masks": masks, "isw_nums": nums}
         for batch in train_loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in ("img1", "img2", "dmap", "bmap", "points",
                               "pt_mask", "targets", "st_sizes")}
+            batch.update(isw_extra)
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
                 self.state, batch, step_rng, jnp.int32(epoch)
@@ -159,10 +180,20 @@ class DGTrainer:
         variables = self._variables()
         for sample in self.loaders["val"]:
             pred = self.counter.count(variables, sample["img1"])
+            if self.isw_tracker is not None and "img2" in sample:
+                # predict2: accumulate covariance stats from the two
+                # augmented views (dgtrainer.py:86-102)
+                tiles1, _ = self.counter._whole_image(sample["img1"])
+                tiles2, _ = self.counter._whole_image(sample["img2"])
+                x2 = jnp.concatenate([jnp.asarray(tiles1), jnp.asarray(tiles2)], axis=0)
+                stats = self._cov_stats(variables, x2)
+                self.isw_tracker.add({k: np.asarray(v) for k, v in stats.items()})
             gt_count = float(len(sample["gt"]))
             mae = abs(pred - gt_count)
             crit.update(mae)
             extra.update({"mse": (pred - gt_count) ** 2})
+        if self.isw_tracker is not None and self.isw_tracker.has_stats():
+            self.isw_tracker.set_mask_matrix()
         self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
         for k, v in extra.avg.items():
             self.log(f"{k}: {v:.4f}", end=" ")

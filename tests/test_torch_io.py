@@ -1,0 +1,112 @@
+"""torch→flax conversion parity: our VGG graph with converted weights
+must reproduce a functional-torch forward of the same stack."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from dgvcc_tpu.nn.vgg import VGG16_CFG, VGGFeatures, feature_layout
+from dgvcc_tpu.nn.torch_io import vgg_features_to_flax, conv_to_flax
+
+
+def synth_vgg_sd(cfg, batch_norm, rng):
+    """Random torchvision-format state dict for a VGG features stack."""
+    sd = {}
+    in_ch = 3
+    for kind, idx, arg in feature_layout(cfg, batch_norm):
+        if kind == "conv":
+            sd[f"features.{idx}.weight"] = rng.normal(
+                0, 0.1, (arg, in_ch, 3, 3)).astype(np.float32)
+            sd[f"features.{idx}.bias"] = rng.normal(0, 0.1, (arg,)).astype(np.float32)
+            in_ch = arg
+        elif kind == "bn":
+            sd[f"features.{idx}.weight"] = rng.uniform(0.5, 1.5, (arg,)).astype(np.float32)
+            sd[f"features.{idx}.bias"] = rng.normal(0, 0.1, (arg,)).astype(np.float32)
+            sd[f"features.{idx}.running_mean"] = rng.normal(0, 0.1, (arg,)).astype(np.float32)
+            sd[f"features.{idx}.running_var"] = rng.uniform(0.5, 1.5, (arg,)).astype(np.float32)
+    return sd
+
+
+def torch_forward(sd, cfg, batch_norm, x_nchw, stop):
+    """Functional torch eval-mode forward of features[:stop]."""
+    y = torch.tensor(x_nchw)
+    for kind, idx, _arg in feature_layout(cfg, batch_norm):
+        if idx >= stop:
+            break
+        if kind == "conv":
+            y = TF.conv2d(y, torch.tensor(sd[f"features.{idx}.weight"]),
+                          torch.tensor(sd[f"features.{idx}.bias"]), padding=1)
+        elif kind == "bn":
+            y = TF.batch_norm(
+                y,
+                torch.tensor(sd[f"features.{idx}.running_mean"]),
+                torch.tensor(sd[f"features.{idx}.running_var"]),
+                torch.tensor(sd[f"features.{idx}.weight"]),
+                torch.tensor(sd[f"features.{idx}.bias"]),
+                training=False, eps=1e-5,
+            )
+        elif kind == "relu":
+            y = TF.relu(y)
+        elif kind == "pool":
+            y = TF.max_pool2d(y, 2, 2)
+    return y.numpy()
+
+
+@pytest.mark.parametrize("stop", [23, 43])
+def test_vgg16bn_conversion_matches_torch(stop):
+    rng = np.random.default_rng(0)
+    # shrink the net for test speed: take cfg prefix covering `stop`
+    cfg = VGG16_CFG
+    sd = synth_vgg_sd(cfg, True, rng)
+
+    params, stats = vgg_features_to_flax(sd, cfg, True, 0, stop)
+    model = VGGFeatures(cfg=tuple(cfg), batch_norm=True, start=0, stop=stop)
+    x = rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32)
+
+    out = model.apply({"params": params, "batch_stats": stats}, x)
+    golden = torch_forward(sd, cfg, True, np.transpose(x, (0, 3, 1, 2)), stop)
+    # float32 conv accumulation order differs between backends; after
+    # 10+ layers ~0.1% of elements drift by ~1e-3 on O(1) magnitudes
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(golden, (0, 2, 3, 1)), rtol=5e-2, atol=3e-3
+    )
+
+
+def test_conv_layout_roundtrip():
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(8, 3, 3, 3)).astype(np.float32)
+    x = rng.normal(size=(1, 3, 10, 10)).astype(np.float32)
+    golden = TF.conv2d(torch.tensor(x), torch.tensor(w), padding=1).numpy()
+
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    conv = nn.Conv(8, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
+    variables = {"params": {"kernel": conv_to_flax(w)}}
+    out = conv.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(golden, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_graft_into_dg_model():
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.torch_io import load_vgg16bn_into_dg
+
+    rng = np.random.default_rng(2)
+    sd = synth_vgg_sd(VGG16_CFG, True, rng)
+    model = MODELS.build("base")
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    v2 = load_vgg16bn_into_dg(dict(variables), sd)
+    # the encoder kernel actually changed to the torch weights
+    k = np.asarray(v2["params"]["enc1"]["conv0"]["kernel"])
+    np.testing.assert_array_equal(k, conv_to_flax(sd["features.0.weight"]))
+    # and the model still runs
+    d = model.apply(v2, x)
+    assert d.shape == (1, 32, 32, 1)
