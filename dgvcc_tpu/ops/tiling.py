@@ -83,8 +83,15 @@ class TiledCounter:
         def _count(variables, tiles, masks):
             out = apply_fn(variables, tiles)
             d = out[0] if isinstance(out, tuple) else out
-            d = d.astype(jnp.float32) * masks
-            return jnp.sum(d) / log_para
+            d = d.astype(jnp.float32)
+            # models may predict at a coarser stride (CSRNet 1/8, MCNN
+            # 1/4 ...); pool the pixel mask to the density grid so each
+            # density cell is weighted by its real-pixel fraction
+            if masks.shape[1] != d.shape[1]:
+                n, mh, mw, _ = masks.shape
+                f = mh // d.shape[1]
+                masks = masks.reshape(n, d.shape[1], f, d.shape[2], f, 1).mean(axis=(2, 4))
+            return jnp.sum(d * masks) / log_para
 
         @jax.jit
         def _dmap(variables, tiles):
