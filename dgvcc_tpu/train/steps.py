@@ -154,6 +154,7 @@ def build_train_step(
     log_para: float,
     axis_name: Optional[str] = None,
     donate: bool = True,
+    loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """One fused train step: grads + (optional) cross-chip pmean + update.
 
@@ -163,7 +164,7 @@ def build_train_step(
     the reference's torch SyncBatchNorm / SyncSwitchWhiten all_reduce
     (models/ISW/sync_switchwhiten.py:21-26).
     """
-    loss_fn = build_loss_fn(model, loss, mode, log_para)
+    loss_fn = loss_fn or build_loss_fn(model, loss, mode, log_para)
 
     def step(state: TrainState, batch: Dict[str, Any], rng, epoch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

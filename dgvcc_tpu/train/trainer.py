@@ -49,6 +49,7 @@ class DGTrainer:
         self.mode = cfg.mode
         self.log_para = float(cfg.log_para)
         self.patch_size = cfg.patch_size
+        self.joint = False
         self._built = False
 
     # ---- construction ----------------------------------------------------
@@ -87,14 +88,53 @@ class DGTrainer:
         if cfg.train_dataset is not None:
             crop = cfg.train_dataset.get("params", {}).get("crop_size", 64)
         sample = jnp.zeros((1, crop, crop, 3), jnp.float32)
-        self.state = create_train_state(
-            self.model, jax.random.PRNGKey(cfg.seed), sample, self.tx
-        )
 
-        self.train_step = jit_train_step(
-            build_train_step(self.model, self.loss, self.mode, self.log_para),
-            donate=cfg.donate,
-        )
+        # ---- reconstructed modes (train/genjoint.py) ----------------------
+        self.joint = self.mode == "joint"
+        custom_loss_fn = None
+        if self.mode == "generation" and cfg.model["name"] not in ("gen", "gen0"):
+            # reference configs say 'dgnet' here; the deleted trainer built
+            # the Generator via get_models() (models2.py:513-516)
+            self.model = MODELS.build("gen", dtype=dtype)
+        if self.joint:
+            from dgvcc_tpu.train.genjoint import build_joint_step
+
+            self.gen_model = MODELS.build("gen", dtype=dtype)
+            self.reg_model = MODELS.build("reg_mem", dtype=dtype)
+            self.model = self.reg_model  # counting model for eval
+            self.gen_tx = build_optimizer(cfg.optimizer)
+            self.gen_state = create_train_state(
+                self.gen_model, jax.random.PRNGKey(cfg.seed + 7), sample, self.gen_tx
+            )
+            self.state = create_train_state(
+                self.reg_model, jax.random.PRNGKey(cfg.seed), sample, self.tx
+            )
+            self.joint_step = build_joint_step(
+                self.gen_model, self.reg_model, self.loss, self.log_para
+            )
+        else:
+            if self.mode == "generation":
+                from dgvcc_tpu.train.genjoint import build_generation_loss
+
+                custom_loss_fn = build_generation_loss(self.model)
+            elif self.mode == "regression":
+                from dgvcc_tpu.train.genjoint import build_regression_loss
+
+                custom_loss_fn = build_regression_loss(self.model, self.loss,
+                                                       self.log_para)
+            elif self.mode == "discrimination":
+                from dgvcc_tpu.train.genjoint import build_discrimination_loss
+
+                custom_loss_fn = build_discrimination_loss(self.model, self.loss,
+                                                           self.log_para)
+            self.state = create_train_state(
+                self.model, jax.random.PRNGKey(cfg.seed), sample, self.tx
+            )
+            self.train_step = jit_train_step(
+                build_train_step(self.model, self.loss, self.mode, self.log_para,
+                                 loss_fn=custom_loss_fn),
+                donate=cfg.donate,
+            )
 
         def apply_fn(variables, tiles):
             return self.model.apply(variables, tiles)
@@ -123,12 +163,52 @@ class DGTrainer:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     def load_ckpt(self, path):
+        """Accepts a single path or a [gen_ckpt, reg_ckpt] 2-list
+        (dgtrainer.py:35-41)."""
         if path is None:
+            return
+        if isinstance(path, (list, tuple)):
+            gen_path, reg_path = path
+            if gen_path and self.joint:
+                self.log(f"Loading generator checkpoint from {gen_path}")
+                self.gen_state, _, _ = load_checkpoint(gen_path, self.gen_state)
+            if reg_path:
+                self.log(f"Loading regressor checkpoint from {reg_path}")
+                self.state, _, _ = load_checkpoint(reg_path, self.state)
             return
         self.log(f"Loading checkpoint from {path}")
         self.state, extra, warnings = load_checkpoint(path, self.state)
         for w in warnings[:10]:
             self.log(f"  [ckpt] {w}")
+
+    def _save_last(self, epoch, best):
+        extra = {"epoch": epoch, "best": best}
+        if self.joint:
+            # pair naming parity: *_gen / *_reg (dgtrainer.py:43-48)
+            from dgvcc_tpu.train.checkpoint import save_checkpoint
+            import glob as _glob
+
+            for old in _glob.glob(os.path.join(self.log_dir, "last*.ckpt")):
+                os.remove(old)
+            save_checkpoint(os.path.join(self.log_dir, "last_gen.ckpt"),
+                            self.gen_state, extra)
+            save_checkpoint(os.path.join(self.log_dir, "last_reg.ckpt"),
+                            self.state, extra)
+        else:
+            self.rotator.save_last(self.state, extra)
+
+    def _save_best(self, epoch, criterion):
+        if self.joint:
+            from dgvcc_tpu.train.checkpoint import save_checkpoint
+            import glob as _glob
+
+            for old in _glob.glob(os.path.join(self.log_dir, "best*.ckpt")):
+                os.remove(old)
+            stem = os.path.join(self.log_dir, f"best_{epoch}_{criterion:.4f}")
+            save_checkpoint(stem + "_gen.ckpt", self.gen_state)
+            save_checkpoint(stem + "_reg.ckpt", self.state)
+        else:
+            self.rotator.save_best(self.state, epoch, criterion)
 
     # ---- loops -------------------------------------------------------------
 
@@ -150,9 +230,14 @@ class DGTrainer:
                               "pt_mask", "targets", "st_sizes")}
             batch.update(isw_extra)
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(
-                self.state, batch, step_rng, jnp.int32(epoch)
-            )
+            if self.joint:
+                self.gen_state, self.state, metrics = self.joint_step(
+                    self.gen_state, self.state, batch, step_rng, jnp.int32(epoch)
+                )
+            else:
+                self.state, metrics = self.train_step(
+                    self.state, batch, step_rng, jnp.int32(epoch)
+                )
             train_loss = float(metrics["loss_total"])
         self.log(f"Epoch {epoch}: Training loss: {train_loss:.4f} "
                  f"Version: {self.cfg.version}")
@@ -165,12 +250,12 @@ class DGTrainer:
         criterion = self.validate(epoch, best_criterion)
         self._last_criterion = criterion
 
-        self.rotator.save_last(self.state, {"epoch": epoch, "best": best_criterion})
+        self._save_last(epoch, best_criterion)
         if criterion < best_criterion:
             best_criterion = criterion
             best_epoch = epoch
             self.log(f"Epoch {epoch}: saving best model...")
-            self.rotator.save_best(self.state, epoch, criterion)
+            self._save_best(epoch, criterion)
         return best_criterion, best_epoch
 
     def validate(self, epoch: int, best_criterion: float) -> float:
@@ -178,6 +263,26 @@ class DGTrainer:
         extra = DictAvgMeter()
         start = time.time()
         variables = self._variables()
+
+        if self.mode == "generation":
+            # generator quality = reconstruction error of the aug view
+            if not hasattr(self, "_gen_recon"):
+                @jax.jit
+                def _gen_recon(variables, img1, img2):
+                    out = self.model.apply(variables, img2)
+                    return jnp.mean((out.astype(jnp.float32)
+                                     - img1.astype(jnp.float32)) ** 2)
+                self._gen_recon = _gen_recon
+            for sample in self.loaders["val"]:
+                tiles1, _ = self.counter._whole_image(sample["img1"])
+                tiles2, _ = self.counter._whole_image(sample.get("img2", sample["img1"]))
+                mse = float(self._gen_recon(variables, jnp.asarray(tiles1),
+                                            jnp.asarray(tiles2)))
+                crit.update(mse)
+            self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
+            self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
+            return crit.avg
+
         for sample in self.loaders["val"]:
             pred = self.counter.count(variables, sample["img1"])
             if self.isw_tracker is not None and "img2" in sample:
