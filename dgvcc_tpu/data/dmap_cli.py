@@ -75,8 +75,8 @@ def main():
     parser.add_argument("--path", required=True, help="canonical dataset root")
     parser.add_argument("--phases", nargs="+", default=["train", "val", "test"])
     parser.add_argument("--sigma", type=float, default=4.0)
-    parser.add_argument("--backend", choices=["numpy", "jax", "pallas"],
-                        default="numpy")
+    parser.add_argument("--backend", choices=["numpy", "native", "jax", "pallas"],
+                        default="native")
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args()
@@ -95,6 +95,21 @@ def main():
         worker_args = [(fn, args.sigma, args.overwrite) for fn in img_fns]
         with Pool(args.workers) as p:
             p.starmap(_process_numpy, worker_args)
+    elif args.backend == "native":
+        from PIL import Image
+
+        from dgvcc_tpu.data.native import gaussian_density_fixed_native
+
+        for img_fn in img_fns:
+            out = _out_path(img_fn)
+            if os.path.exists(out) and not args.overwrite:
+                continue
+            with Image.open(img_fn) as im:
+                w, h = im.size
+            stem, _ = os.path.splitext(img_fn)
+            points = np.load(stem + ".npy")
+            np.save(out, gaussian_density_fixed_native((h, w), points,
+                                                       sigma=args.sigma))
     else:
         _process_jax(img_fns, args.sigma, args.overwrite, args.backend)
 

@@ -217,6 +217,13 @@ class DGTrainer:
         if self.scheduler is not None:
             self.state = self.state.set_learning_rate(self.scheduler.current_lr)
 
+        # optional profiler trace of this epoch (config: profile_epoch: N)
+        profile_epoch = self.cfg.extra.get("profile_epoch")
+        if profile_epoch is not None and epoch == profile_epoch:
+            trace_dir = os.path.join(self.log_dir, "trace")
+            jax.profiler.start_trace(trace_dir)
+            self.log(f"[profiler] tracing epoch {epoch} -> {trace_dir}")
+
         train_loader = self.loaders["train"]
         train_loader.set_epoch(epoch)
         train_loss = float("nan")
@@ -239,6 +246,14 @@ class DGTrainer:
                     self.state, batch, step_rng, jnp.int32(epoch)
                 )
             train_loss = float(metrics["loss_total"])
+            # NaN guard: a non-finite loss means the run is dead — fail
+            # loudly instead of training garbage for hours
+            if not np.isfinite(train_loss):
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch}: {metrics}"
+                )
+        if profile_epoch is not None and epoch == profile_epoch:
+            jax.profiler.stop_trace()
         self.log(f"Epoch {epoch}: Training loss: {train_loss:.4f} "
                  f"Version: {self.cfg.version}")
 

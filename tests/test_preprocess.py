@@ -112,3 +112,46 @@ def test_dmap_cli_end_to_end(tmp_path, monkeypatch):
     dm = np.load(dmaps[0])
     assert dm.shape == (64, 80)
     assert 0 < dm.sum() <= 6.0
+
+
+def test_native_splat_matches_numpy_golden():
+    """C++ splat library vs the numpy/scipy golden, fixed + adaptive."""
+    from dgvcc_tpu.data.native import (
+        gaussian_density_fixed_native,
+        gaussian_density_adaptive_native,
+    )
+    from dgvcc_tpu.ops.dmap import (
+        gaussian_density_fixed_np,
+        gaussian_density_adaptive_np,
+    )
+
+    rng = np.random.default_rng(9)
+    shape = (240, 320)
+    pts = rng.uniform(0, [320, 240], (120, 2)).astype(np.float32)
+
+    ours = gaussian_density_fixed_native(shape, pts, sigma=4.0, n_threads=4)
+    golden = gaussian_density_fixed_np(shape, pts, sigma=4.0)
+    np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-6)
+
+    ours_a = gaussian_density_adaptive_native(shape, pts, n_threads=4)
+    golden_a = gaussian_density_adaptive_np(shape, pts)
+    np.testing.assert_allclose(ours_a, golden_a, rtol=1e-3, atol=1e-5)
+
+
+def test_native_splat_speed():
+    """Native splat must beat the numpy golden comfortably on a big frame."""
+    import time
+    from dgvcc_tpu.data.native import gaussian_density_fixed_native
+    from dgvcc_tpu.ops.dmap import gaussian_density_fixed_np
+
+    rng = np.random.default_rng(10)
+    shape = (1024, 1024)
+    pts = rng.uniform(0, 1024, (2000, 2)).astype(np.float32)
+    gaussian_density_fixed_native(shape, pts)  # warm (build + threads)
+    t0 = time.perf_counter()
+    gaussian_density_fixed_native(shape, pts)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gaussian_density_fixed_np(shape, pts)
+    t_np = time.perf_counter() - t0
+    assert t_native < t_np  # typically 10-100x faster
