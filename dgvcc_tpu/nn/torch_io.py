@@ -105,3 +105,45 @@ def load_vgg16bn_into_dg(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
         p, s = vgg_features_to_flax(sd, VGG16_CFG, True, lo, hi)
         variables = graft(variables, (enc,), p, s)
     return variables
+
+
+def load_vgg16bn_into_unet(variables: Dict, sd: Dict[str, np.ndarray],
+                           prefix: Tuple[str, ...] = ("fe",)) -> Dict:
+    """Install vgg16_bn into the models2-style _VGGUNet (stage1/2/3 under
+    ``prefix`` — models2.py:198-201)."""
+    from dgvcc_tpu.nn.vgg import VGG16_CFG
+
+    for st, (lo, hi) in (("stage1", (0, 23)), ("stage2", (23, 33)),
+                         ("stage3", (33, 43))):
+        p, s = vgg_features_to_flax(sd, VGG16_CFG, True, lo, hi)
+        variables = graft(variables, prefix + (st,), p, s)
+    return variables
+
+
+def load_pretrained_backbone(variables: Dict, model_name: str,
+                             weights: Dict[str, str]) -> Tuple[Dict, str]:
+    """Best-effort pretrained-backbone install by registered model name.
+
+    weights: {'vgg16_bn': path, ...} torchvision .pth files. Returns
+    (variables, description). Models without a mapping return unchanged.
+    """
+    dg_family = {"base", "mem", "memadd", "cls", "memcls", "final"}
+    unet_family = {"dgnet", "dgnet_cls", "reg", "reg_mem"}
+    if model_name in dg_family and "vgg16_bn" in weights:
+        sd = load_torch_state_dict(weights["vgg16_bn"])
+        return load_vgg16bn_into_dg(variables, sd), "vgg16_bn → enc1/2/3"
+    if model_name in unet_family and "vgg16_bn" in weights:
+        sd = load_torch_state_dict(weights["vgg16_bn"])
+        return load_vgg16bn_into_unet(variables, sd), "vgg16_bn → fe/stage1-3"
+    if model_name == "sasnet" and "vgg16_bn" in weights:
+        from dgvcc_tpu.nn.vgg import VGG16_CFG
+
+        sd = load_torch_state_dict(weights["vgg16_bn"])
+        splits = (("features1", (0, 6)), ("features2", (6, 13)),
+                  ("features3", (13, 23)), ("features4", (23, 33)),
+                  ("features5", (33, 43)))
+        for name, (lo, hi) in splits:
+            p, s = vgg_features_to_flax(sd, VGG16_CFG, True, lo, hi)
+            variables = graft(variables, (name,), p, s)
+        return variables, "vgg16_bn → features1-5"
+    return variables, "no pretrained mapping"

@@ -136,6 +136,24 @@ class DGTrainer:
                 donate=cfg.donate,
             )
 
+        # pretrained ImageNet backbones: config key
+        #   pretrained_weights: {vgg16_bn: /path/to/vgg16_bn.pth}
+        # (reference downloads these from torchvision, models.py:35 —
+        # no network here, so the user supplies the files)
+        weights = cfg.extra.get("pretrained_weights")
+        if weights and cfg.model.get("params", {}).get("pretrained", True):
+            from dgvcc_tpu.nn.torch_io import load_pretrained_backbone
+            from flax.core import unfreeze
+
+            variables = {"params": unfreeze(self.state.params),
+                         "batch_stats": unfreeze(self.state.batch_stats)}
+            variables, desc = load_pretrained_backbone(
+                variables, cfg.model["name"], weights)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"])
+            self.log(f"Loaded pretrained backbone: {desc}")
+
         def apply_fn(variables, tiles):
             return self.model.apply(variables, tiles)
 

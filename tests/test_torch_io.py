@@ -110,3 +110,35 @@ def test_graft_into_dg_model():
     # and the model still runs
     d = model.apply(v2, x)
     assert d.shape == (1, 32, 32, 1)
+
+
+def test_trainer_loads_pretrained_backbone(tmp_path):
+    """Config pretrained_weights → backbone grafted into the train state."""
+    import torch
+    import yaml
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    rng = np.random.default_rng(3)
+    sd = synth_vgg_sd(VGG16_CFG, True, rng)
+    pth = tmp_path / "vgg16_bn.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    cfg = Config.from_dict({
+        "seed": 0, "version": "pt", "log_para": 1000, "patch_size": 1440,
+        "mode": "simple", "num_epochs": 1,
+        "model": {"name": "base", "params": {"pretrained": True}},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+        "compute_dtype": "float32",
+        "log_dir": str(tmp_path / "logs"),
+        "pretrained_weights": {"vgg16_bn": str(pth)},
+        "train_dataset": {"name": "den", "params": {
+            "root": str(tmp_path), "crop_size": 64, "downsample": 1}},
+    })
+    t = DGTrainer(cfg)
+    t.build()
+    k = np.asarray(t.state.params["enc1"]["conv0"]["kernel"])
+    np.testing.assert_array_equal(k, conv_to_flax(sd["features.0.weight"]))
+    m = np.asarray(t.state.batch_stats["enc3"]["bn41"]["mean"])
+    np.testing.assert_array_equal(m, sd["features.41.running_mean"])
