@@ -1,0 +1,108 @@
+"""Video-stream serving: fused decode-to-count inference.
+
+The BASELINE north star: per-frame density regression over video
+streams, fused end-to-end so decode-to-count latency hits TPU
+speed-of-light. Host work stops at JPEG decode (uint8 frames);
+everything after — normalize, pad, forward, count reduction — is ONE
+jitted program per frame-shape bucket, fed asynchronously so TPU
+compute overlaps host decode.
+
+Usage:
+    counter = VideoCounter.from_checkpoint("final", "logs/x/best.ckpt")
+    counts = counter.count_frames(frames_uint8)   # (B, H, W, 3) uint8
+    for c in counter.stream(frame_iter):          # pipelined streaming
+        ...
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgvcc_tpu.core.registry import MODELS
+
+
+class VideoCounter:
+    """Batched, shape-bucketed crowd counting over raw uint8 frames."""
+
+    def __init__(self, model, variables, log_para: float = 1000.0,
+                 bucket: int = 64, dtype=jnp.bfloat16):
+        self.model = model
+        self.variables = variables
+        self.log_para = log_para
+        self.bucket = bucket
+        self.dtype = dtype
+
+        @jax.jit
+        def infer(variables, frames_u8, valid_hw):
+            # uint8 → [-1, 1] normalize (Normalize(0.5, 0.5)) fused with
+            # the forward; padded border zeroed out of the count
+            x = frames_u8.astype(jnp.float32) / 255.0
+            x = ((x - 0.5) / 0.5).astype(dtype)
+            out = self.model.apply(variables, x)
+            d = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
+            h_idx = jnp.arange(d.shape[1])[None, :, None, None]
+            w_idx = jnp.arange(d.shape[2])[None, None, :, None]
+            scale_h = d.shape[1] / frames_u8.shape[1]
+            scale_w = d.shape[2] / frames_u8.shape[2]
+            mask = ((h_idx < valid_hw[0] * scale_h)
+                    & (w_idx < valid_hw[1] * scale_w))
+            return jnp.sum(d * mask, axis=(1, 2, 3)) / log_para
+
+        self._infer = infer
+
+    @classmethod
+    def from_checkpoint(cls, model_name: str, ckpt_path: Optional[str] = None,
+                        log_para: float = 1000.0, dtype=jnp.bfloat16,
+                        **model_params):
+        import dgvcc_tpu.models  # noqa: F401
+
+        model = MODELS.build(model_name, dtype=dtype, **model_params)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 256, 256, 3), dtype),
+        )
+        if ckpt_path:
+            from flax import serialization
+
+            with open(ckpt_path, "rb") as f:
+                loaded = serialization.msgpack_restore(f.read())
+            variables = {"params": loaded["params"],
+                         "batch_stats": loaded.get("batch_stats", {})}
+        return cls(model, variables, log_para=log_para, dtype=dtype)
+
+    def _pad(self, frames: np.ndarray):
+        b, h, w, c = frames.shape
+        bh = math.ceil(h / self.bucket) * self.bucket
+        bw = math.ceil(w / self.bucket) * self.bucket
+        if (bh, bw) == (h, w):
+            return frames, (h, w)
+        out = np.zeros((b, bh, bw, c), frames.dtype)
+        out[:, :h, :w] = frames
+        return out, (h, w)
+
+    def count_frames(self, frames: np.ndarray) -> np.ndarray:
+        """frames: (B, H, W, 3) uint8 → (B,) predicted counts."""
+        padded, (h, w) = self._pad(np.asarray(frames))
+        counts = self._infer(self.variables, jnp.asarray(padded),
+                             jnp.asarray([h, w]))
+        return np.asarray(counts)
+
+    def stream(self, frame_batches: Iterable[np.ndarray],
+               prefetch: int = 2) -> Iterator[np.ndarray]:
+        """Pipelined streaming: keeps `prefetch` device batches in flight
+        so host decode overlaps TPU compute."""
+        in_flight = []
+        for frames in frame_batches:
+            padded, (h, w) = self._pad(np.asarray(frames))
+            fut = self._infer(self.variables, jnp.asarray(padded),
+                              jnp.asarray([h, w]))
+            in_flight.append(fut)
+            if len(in_flight) > prefetch:
+                yield np.asarray(in_flight.pop(0))
+        for fut in in_flight:
+            yield np.asarray(fut)

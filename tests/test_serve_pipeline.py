@@ -1,0 +1,80 @@
+"""Serving path + on-device augmentation pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_video_counter_counts_uint8_frames():
+    from dgvcc_tpu.serve import VideoCounter
+
+    counter = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 100, 140, 3), dtype=np.uint8)
+    counts = counter.count_frames(frames)
+    assert counts.shape == (2,)
+    assert np.isfinite(counts).all() and (counts >= 0).all()
+    # deterministic across calls
+    counts2 = counter.count_frames(frames)
+    np.testing.assert_allclose(counts, counts2, rtol=1e-6)
+
+
+def test_video_counter_stream_order():
+    from dgvcc_tpu.serve import VideoCounter
+
+    counter = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    batches = [rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+               for _ in range(5)]
+    streamed = list(counter.stream(iter(batches), prefetch=2))
+    assert len(streamed) == 5
+    direct = [counter.count_frames(b) for b in batches]
+    for s, d in zip(streamed, direct):
+        np.testing.assert_allclose(s, d, rtol=1e-6)
+
+
+def test_device_augmentation_batch():
+    from dgvcc_tpu.data.device_pipeline import augment_two_view_batch
+
+    rng = np.random.default_rng(2)
+    B, H, W, crop = 4, 96, 128, 64
+    frames = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    dmaps = rng.uniform(0, 0.1, (B, H, W, 1)).astype(np.float32)
+
+    out = augment_two_view_batch(jnp.asarray(frames), jnp.asarray(dmaps),
+                                 jax.random.PRNGKey(0), crop=crop)
+    assert out["img1"].shape == (B, crop, crop, 3)
+    assert out["img2"].shape == (B, crop, crop, 3)
+    assert out["dmap"].shape == (B, crop, crop, 1)
+    assert out["bmap"].shape == (B, crop // 16, crop // 16, 1)
+    # normalized range
+    assert float(out["img1"].min()) >= -1.0 and float(out["img1"].max()) <= 1.0
+    # views share geometry: both derived from the same crop ⇒ dmap/bmap
+    # consistent
+    d = np.asarray(out["dmap"])[..., 0]
+    blocks = d.reshape(B, crop // 16, 16, crop // 16, 16).sum(axis=(2, 4))
+    np.testing.assert_array_equal(np.asarray(out["bmap"])[..., 0],
+                                  (blocks > 0).astype(np.float32))
+    # different keys → different crops
+    out2 = augment_two_view_batch(jnp.asarray(frames), jnp.asarray(dmaps),
+                                  jax.random.PRNGKey(1), crop=crop)
+    assert not np.allclose(np.asarray(out["img1"]), np.asarray(out2["img1"]))
+
+
+def test_device_photometric_ops_match_host_semantics():
+    """Spot-check brightness/saturation against PIL ImageEnhance."""
+    from PIL import Image, ImageEnhance
+    from dgvcc_tpu.data.device_pipeline import adjust_brightness, adjust_saturation
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    x = jnp.asarray(img, jnp.float32) / 255.0
+
+    ours = np.asarray(jnp.clip(adjust_brightness(x, 1.3), 0, 1)) * 255
+    golden = np.asarray(ImageEnhance.Brightness(Image.fromarray(img)).enhance(1.3))
+    assert np.abs(ours - golden).max() <= 1.0  # uint8 rounding
+
+    ours = np.asarray(jnp.clip(adjust_saturation(x, 0.7), 0, 1)) * 255
+    golden = np.asarray(ImageEnhance.Color(Image.fromarray(img)).enhance(0.7))
+    assert np.abs(ours - golden).max() <= 2.0
