@@ -44,16 +44,26 @@ class MemoryBank(nn.Module):
 
     mem_size: int = 1024
     mem_dim: int = 256
+    fused: bool = False  # Pallas kernel on the logits-free inference path
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, y):
+    def __call__(self, y, need_logits: bool = True):
         b, h, w, k = y.shape
         mem = self.param(
             "mem",
             lambda rng: jax.random.normal(rng, (k, self.mem_size), jnp.float32),
         ).astype(self.dtype)
         y_flat = y.reshape(b, h * w, k)
+
+        if self.fused and not need_logits:
+            # fused VMEM-resident attention (ops/mem_attention.py): skips
+            # materializing the (B, P, S) attention tensor in HBM
+            from dgvcc_tpu.ops.mem_attention import memory_attention_fused
+
+            y_new = memory_attention_fused(y_flat, mem)
+            return y_new.reshape(b, h, w, k), None
+
         logits = jnp.einsum(
             "bpk,ks->bps", y_flat, mem, preferred_element_type=jnp.float32
         ) / math.sqrt(k)
@@ -100,6 +110,7 @@ class DGModel(nn.Module):
     # forward_train (models.py:144-146,282-284). 'auto' resolves by variant.
     den_dec_dropout: bool = True
     pretrained: bool = True  # honored by the weight loader, not the graph
+    fused_mem: bool = False  # Pallas memory attention on inference (TPU)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -126,7 +137,8 @@ class DGModel(nn.Module):
         self.den_head = ConvBlock(1, kernel_size=1, padding=0, dtype=self.dtype)
 
         if self.use_mem:
-            self.memory = MemoryBank(self.mem_size, self.mem_dim, dtype=self.dtype)
+            self.memory = MemoryBank(self.mem_size, self.mem_dim,
+                                     fused=self.fused_mem, dtype=self.dtype)
         if self.use_cls:
             self.cls_conv1 = ConvBlock(256, bn=True, dtype=self.dtype)
             self.cls_drop = Dropout2d(self.cls_dropout)
@@ -191,7 +203,7 @@ class DGModel(nn.Module):
         y_cat, x3 = self.forward_fe(x, train=train)
         y_den = self._den_features(y_cat, train)
         if self.use_mem:
-            y_den, _ = self.memory(y_den)
+            y_den, _ = self.memory(y_den, need_logits=False)
         d = self.den_head(y_den, train=train)
         if self.use_cls:
             c = self.cls_head(x3, train=train)
@@ -261,7 +273,8 @@ def _variant(name, **flags):
         kw = dict(flags)
         # accept the reference YAML param names verbatim (configs/*.yml)
         for k in ("mem_size", "mem_dim", "den_dropout", "cls_dropout",
-                  "cls_thrs", "err_thrs", "has_err_loss", "pretrained", "dtype"):
+                  "cls_thrs", "err_thrs", "has_err_loss", "pretrained",
+                  "fused_mem", "dtype"):
             if k in params:
                 kw[k] = params[k]
         return DGModel(**kw)

@@ -108,3 +108,21 @@ def test_adaptive_np_few_points():
     delta[32, 32] = 1.0
     golden = scipy.ndimage.gaussian_filter(delta, 15.0, mode="constant")
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-6)
+
+
+def test_memory_attention_fused_matches_einsum():
+    """Pallas fused prototype attention == einsum reference (interpret
+    mode on CPU; the same kernel runs compiled on TPU)."""
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.ops.mem_attention import (
+        memory_attention_fused,
+        memory_attention_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(2, 300, 64)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    ours = np.asarray(memory_attention_fused(y, mem, tile=128, interpret=True))
+    golden = np.asarray(memory_attention_reference(y, mem))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-5)
