@@ -1,0 +1,59 @@
+"""Data-parallel evaluation: shard the tile batch across the mesh.
+
+Validation/test in the reference is strictly serial (one image, one
+GPU, Python loop over patches — trainers/trainer.py:90-103). On a TPU
+slice the tiled counting of ops/tiling.py parallelizes trivially: the
+(T, ps, ps, 3) tile batch shards across the data axis, each chip counts
+its tiles, and a psum yields the image count. For whole-dataset eval we
+additionally batch images per device step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dgvcc_tpu.parallel.mesh import DATA_AXIS
+
+
+def build_sharded_tile_counter(apply_fn: Callable, log_para: float, mesh):
+    """Returns count(variables, tiles, masks) → scalar, with tiles/masks
+    sharded over the mesh's data axis. Tile count must be a multiple of
+    the axis size (ops/tiling.py buckets make that easy)."""
+
+    def per_shard(variables, tiles, masks):
+        out = apply_fn(variables, tiles)
+        d = out[0] if isinstance(out, tuple) else out
+        d = d.astype(jnp.float32)
+        if masks.shape[1] != d.shape[1]:
+            n, mh, mw, _ = masks.shape
+            f = mh // d.shape[1]
+            masks = masks.reshape(n, d.shape[1], f, d.shape[2], f, 1).mean(axis=(2, 4))
+        local = jnp.sum(d * masks) / log_para
+        return jax.lax.psum(local, DATA_AXIS)
+
+    sm = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+    )
+    jitted = jax.jit(sm)
+
+    def count(variables, tiles: np.ndarray, masks: np.ndarray) -> float:
+        n = mesh.devices.size
+        t = tiles.shape[0]
+        pad = (-t) % n
+        if pad:
+            tiles = np.concatenate([tiles, np.zeros((pad,) + tiles.shape[1:],
+                                                    tiles.dtype)])
+            masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:],
+                                                    masks.dtype)])
+        tiles = jax.device_put(jnp.asarray(tiles), NamedSharding(mesh, P(DATA_AXIS)))
+        masks = jax.device_put(jnp.asarray(masks), NamedSharding(mesh, P(DATA_AXIS)))
+        return float(jitted(variables, tiles, masks))
+
+    return count

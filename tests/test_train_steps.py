@@ -125,3 +125,27 @@ def test_scheduler_lr_injection():
     model, state = make_state("base")
     state2 = state.set_learning_rate(3e-3)
     assert float(state2.opt_state.hyperparams["learning_rate"]) == pytest.approx(3e-3)
+
+
+def test_sharded_tile_counting_matches_single_device():
+    """Mesh-sharded tiled counting == single-device TiledCounter count."""
+    from dgvcc_tpu.ops.tiling import tile_image, TiledCounter
+    from dgvcc_tpu.parallel.eval import build_sharded_tile_counter
+
+    mesh = make_mesh(8)
+    model, state = make_state("base")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def apply_fn(v, tiles):
+        return model.apply(v, tiles)
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(70, 90, 3)).astype(np.float32)
+    tiles, masks, _, _ = tile_image(img, 32)
+
+    sharded_count = build_sharded_tile_counter(apply_fn, 1000.0, mesh)
+    c_sharded = sharded_count(variables, tiles, masks)
+
+    tc = TiledCounter(apply_fn, 1000.0, patch_size=32)
+    c_single = tc.count(variables, img)
+    assert c_sharded == pytest.approx(c_single, rel=1e-4)
