@@ -111,12 +111,26 @@ class DGModel(nn.Module):
     den_dec_dropout: bool = True
     pretrained: bool = True  # honored by the weight loader, not the graph
     fused_mem: bool = False  # Pallas memory attention on inference (TPU)
+    remat: bool = False  # rematerialize encoder stages (memory ↓, FLOPs ↑)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.enc1 = vgg16bn_stage(0, 23, dtype=self.dtype)
-        self.enc2 = vgg16bn_stage(23, 33, dtype=self.dtype)
-        self.enc3 = vgg16bn_stage(33, 43, dtype=self.dtype)
+        from dgvcc_tpu.nn.vgg import VGG16_CFG, VGGFeatures
+
+        # static_argnums counts (scope, x, train): `train` must be static
+        # and passed POSITIONALLY at every call site
+        stage_cls = (
+            nn.remat(VGGFeatures, static_argnums=(2,)) if self.remat
+            else VGGFeatures
+        )
+
+        def stage(lo, hi):
+            return stage_cls(cfg=tuple(VGG16_CFG), batch_norm=True,
+                             start=lo, stop=hi, dtype=self.dtype)
+
+        self.enc1 = stage(0, 23)
+        self.enc2 = stage(23, 33)
+        self.enc3 = stage(33, 43)
 
         self.dec3 = [
             ConvBlock(1024, bn=True, dtype=self.dtype),
@@ -152,9 +166,9 @@ class DGModel(nn.Module):
         Parity: models.py:64-87. y_cat = [dec1(128), up2(dec2(256)),
         up4(dec3(512))] at stride 4 → 896 channels.
         """
-        x1 = self.enc1(x, train=train)   # stride 4, 256
-        x2 = self.enc2(x1, train=train)  # stride 8, 512
-        x3 = self.enc3(x2, train=train)  # stride 16, 512
+        x1 = self.enc1(x, train)   # stride 4, 256
+        x2 = self.enc2(x1, train)  # stride 8, 512
+        x3 = self.enc3(x2, train)  # stride 16, 512
 
         y = x3
         for blk in self.dec3:
@@ -274,7 +288,7 @@ def _variant(name, **flags):
         # accept the reference YAML param names verbatim (configs/*.yml)
         for k in ("mem_size", "mem_dim", "den_dropout", "cls_dropout",
                   "cls_thrs", "err_thrs", "has_err_loss", "pretrained",
-                  "fused_mem", "dtype"):
+                  "fused_mem", "remat", "dtype"):
             if k in params:
                 kw[k] = params[k]
         return DGModel(**kw)

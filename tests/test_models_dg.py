@@ -113,3 +113,25 @@ def test_variant_param_flags():
     flat = flax.traverse_util.flatten_dict(v_final["params"], sep="/")
     assert any(k.endswith("/mem") for k in flat)
     assert any("cls_conv1" in k for k in flat)
+
+
+def test_remat_gradients_match():
+    """remat=True recomputes activations in backward — gradients must be
+    identical to the non-remat model."""
+    model_a, var_a = init_model("base")
+    model_r = MODELS.build("base", remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, H, W, 3)),
+                    jnp.float32)
+
+    def loss(variables, model):
+        def f(params):
+            d = model.apply({"params": params,
+                             "batch_stats": variables["batch_stats"]}, x)
+            return jnp.sum(d ** 2)
+        return jax.grad(f)(variables["params"])
+
+    g_a = loss(var_a, model_a)
+    g_r = loss(var_a, model_r)  # same params, remat graph
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
