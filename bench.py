@@ -30,7 +30,7 @@ def main():
     from dgvcc_tpu.core.registry import MODELS
     import dgvcc_tpu.models  # noqa: F401
 
-    H, W, B = 768, 1024, 4
+    H, W, B = 768, 1024, 16  # B=16 sweeps ~18% faster than B=4 on v5e
     model = MODELS.build("final", dtype=jnp.bfloat16)
     init_x = jnp.zeros((1, H, W, 3), jnp.bfloat16)
     variables = model.init(

@@ -95,14 +95,76 @@ class Bottleneck(nn.Module):
         return out, w
 
 
+class BasicBlock(nn.Module):
+    """2-conv residual block (resnet18/34). SW variant: norm1 replaced
+    by SwitchWhiten (SW/backbones/resnet.py:27-74); IBN-a: bn1 → IBN;
+    post-residual IN/IW like Bottleneck."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    sw_norm2: bool = False  # for BasicBlock the SW site is norm1
+    ibn_a: bool = False
+    post: Optional[str] = None
+    sw_kwargs: dict = None
+    dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        residual = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
+        if self.sw_norm2:
+            out = SwitchWhiten(self.planes, dtype=self.dtype, name="bn1",
+                               **(self.sw_kwargs or {}))(out, train=train)
+        elif self.ibn_a:
+            out = IBN(self.planes, dtype=self.dtype, name="bn1")(out, train=train)
+        else:
+            out = bn("bn1")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        out = bn("bn2")(out)
+
+        if self.has_downsample:
+            residual = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+
+        out = out + residual
+        w = None
+        if self.post == "in":
+            out = InstanceNorm(affine=True, name="post_in")(out)
+        elif self.post == "iw":
+            out, w = InstanceWhitening(name="post_iw")(out)
+        out = nn.relu(out)
+        return out, w
+
+
+# torchvision layer counts by depth
+RESNET_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+RESNET_BLOCK = {18: "basic", 34: "basic", 50: "bottleneck",
+                101: "bottleneck", 152: "bottleneck"}
+
+
 class ResNetTrunk(nn.Module):
-    """Bottleneck ResNet through ``num_stages`` stages (stride 4*2^k).
+    """ResNet through ``num_stages`` stages (stride 4*2^k).
 
     Returns (features, w_arr) — w_arr holds whitened feature maps from
     'iw' sites (stem + post-residual), for the ISW whitening loss.
     """
 
     layers: Sequence[int] = (3, 4, 6, 3)
+    block: str = "bottleneck"  # 'basic' for resnet18/34
     num_stages: int = 4
     stem_norm: str = "bn"  # 'bn' | 'in_affine' | 'iw' | 'sw'
     stage_sw: Sequence[bool] = (False, False, False, False)
@@ -133,6 +195,8 @@ class ResNetTrunk(nn.Module):
         # 3x3/2 max pool, padding 1 (torch MaxPool2d(3, 2, 1))
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
+        expansion = 4 if self.block == "bottleneck" else 1
         inplanes = 64
         for k in range(self.num_stages):
             planes = 64 * (2**k)
@@ -141,10 +205,11 @@ class ResNetTrunk(nn.Module):
             for i in range(n_blocks):
                 is_first = i == 0
                 is_last = i == n_blocks - 1
-                out, w = Bottleneck(
+                out, w = block_cls(
                     planes=planes,
                     stride=stride if is_first else 1,
-                    has_downsample=is_first and (stride != 1 or inplanes != planes * 4),
+                    has_downsample=is_first
+                    and (stride != 1 or inplanes != planes * expansion),
                     sw_norm2=(self.stage_sw[k] and not is_first and i % 2 == 1),
                     ibn_a=self.stage_ibn_a[k],
                     post=self.stage_post[k] if is_last else None,
@@ -154,5 +219,5 @@ class ResNetTrunk(nn.Module):
                 )(out, train=train)
                 if w is not None:
                     w_arr.append(w)
-                inplanes = planes * 4
+                inplanes = planes * expansion
         return out, w_arr

@@ -245,3 +245,19 @@ def test_isw_train_step_integration():
     # epoch 7: wt loss contributes
     state, m7 = step(state, batch, jax.random.PRNGKey(2), jnp.int32(7))
     assert np.isfinite(float(m7["loss_total"]))
+
+
+def test_resnet_basic_block_trunk():
+    """resnet18-style trunk (BasicBlock) with SW + post-IN options."""
+    from dgvcc_tpu.nn.resnet import ResNetTrunk, RESNET_LAYERS, RESNET_BLOCK
+
+    trunk = ResNetTrunk(layers=RESNET_LAYERS[18], block=RESNET_BLOCK[18],
+                        num_stages=3, stem_norm="bn",
+                        stage_sw=(True, False, False, False),
+                        stage_post=(None, "in", None, None))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = trunk.init(jax.random.PRNGKey(0), x)
+    feats, w_arr = trunk.apply(variables, x)
+    # basic block: stage3 (k=2) has 256 channels, stride 16
+    assert feats.shape == (1, 4, 4, 256)
+    assert w_arr == []
