@@ -23,6 +23,13 @@ def run(config_path: str, task: str):
     from dgvcc_tpu.train.trainer import DGTrainer
 
     cfg = load_config(config_path)
+    # honor the config's device key (reference uses cuda:N; here 'cpu'
+    # forces the CPU backend — useful for debugging — anything else uses
+    # the default platform, i.e. the TPU)
+    if str(cfg.device).startswith("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     trainer = DGTrainer(cfg)
     # snapshot the config into the log dir (main.py:151)
     os.makedirs(trainer.log_dir, exist_ok=True)

@@ -17,7 +17,6 @@ decoded crops+dmaps to the device.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

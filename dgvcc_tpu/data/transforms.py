@@ -11,7 +11,7 @@ numerically and the random ops by range/statistics.
 from __future__ import annotations
 
 import random
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance

@@ -20,7 +20,6 @@ Python lists and loops per image. Here everything is padded to a static
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ Notes:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax

@@ -22,7 +22,7 @@ bools (static under jit), so each mode compiles to one fused program.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from flax import linen as nn
 
 from dgvcc_tpu.core.registry import MODELS
 from dgvcc_tpu.nn.layers import ConvBlock, Dropout2d, dropout2d, instance_norm, upsample
-from dgvcc_tpu.nn.vgg import vgg16bn_stage
 
 
 class MemoryBank(nn.Module):

@@ -18,7 +18,6 @@ baseline of main_base.py:36-37:
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -31,7 +30,7 @@ from flax import linen as nn
 from dgvcc_tpu.core.registry import MODELS
 from dgvcc_tpu.nn.layers import upsample
 from dgvcc_tpu.nn.resnet import ResNetTrunk
-from dgvcc_tpu.nn.vgg import VGGFeatures, VGG19_CFG
+from dgvcc_tpu.nn.vgg import VGG19_CFG
 from dgvcc_tpu.nn.whitening import (
     SwitchWhiten,
     get_covariance_matrix,

@@ -24,7 +24,7 @@ torchvision resnet50 state dict converts by rename.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -20,9 +20,8 @@ the number of distinct image sizes.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

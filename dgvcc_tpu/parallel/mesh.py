@@ -19,12 +19,10 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from dgvcc_tpu.train.state import TrainState
 from dgvcc_tpu.train.steps import build_train_step
 
 DATA_AXIS = "data"

@@ -17,7 +17,7 @@ Usage:
 from __future__ import annotations
 
 import math
-from typing import Any, Iterable, Iterator, Optional
+from typing import Iterable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp

@@ -45,7 +45,7 @@ validates the generator by reconstruction error).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

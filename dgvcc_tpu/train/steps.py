@@ -21,7 +21,6 @@ Modes (parity with dgtrainer.py:149-204):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -19,7 +19,6 @@ TPU-native differences:
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from typing import Optional
 

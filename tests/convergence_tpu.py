@@ -1,0 +1,94 @@
+"""Real-TPU convergence check (manual, not in the pytest suite).
+
+Builds a LEARNABLE synthetic dataset — head points drawn around bright
+blobs actually rendered into the image, so density is predictable from
+pixels — trains DGModel 'final' for a few epochs on the TPU through the
+full trainer, and reports the val MAE trajectory. Run:
+
+    python tests/convergence_tpu.py [--epochs 8] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_learnable_dataset(root, n_train=32, n_val=8, hw=(128, 128), seed=0):
+    from dgvcc_tpu.ops.dmap import gaussian_density_fixed_np
+
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    for split, n in (("train", n_train), ("val", n_val), ("test", n_val)):
+        d = os.path.join(root, split)
+        os.makedirs(d, exist_ok=True)
+        for k in range(n):
+            img = rng.uniform(0, 60, (h, w, 3))
+            n_pts = int(rng.integers(5, 40))
+            pts = rng.uniform(8, [w - 8, h - 8], (n_pts, 2)).astype(np.float32)
+            # render a bright blob at every head point → count is learnable
+            yy, xx = np.mgrid[0:h, 0:w]
+            for x, y in pts:
+                blob = 180 * np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / (2 * 3.0**2))
+                img[..., 0] += blob
+                img[..., 1] += 0.8 * blob
+                img[..., 2] += 0.6 * blob
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                os.path.join(d, f"img{k:03d}.jpg"))
+            np.save(os.path.join(d, f"img{k:03d}.npy"), pts)
+            np.save(os.path.join(d, f"img{k:03d}_dmap.npy"),
+                    gaussian_density_fixed_np((h, w), pts))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--root", default=None)
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    root = args.root or tempfile.mkdtemp(prefix="conv_ds_")
+    if not os.path.exists(os.path.join(root, "train")):
+        print(f"building dataset at {root}", flush=True)
+        make_learnable_dataset(root)
+
+    ds = {"name": "den_cls", "params": {
+        "root": root, "crop_size": 128, "downsample": 1,
+        "is_grey": False, "unit_size": 16}}
+    cfg = Config.from_dict({
+        "seed": 7, "version": "convergence", "log_para": 1000,
+        "patch_size": 1440, "mode": "final", "num_epochs": args.epochs,
+        "checkpoint": None,
+        "model": {"name": "final", "params": {
+            "pretrained": False, "mem_size": 256, "mem_dim": 128}},
+        "train_dataset": ds, "val_dataset": ds, "test_dataset": ds,
+        "train_loader": {"batch_size": 8, "num_workers": 4, "shuffle": True},
+        "val_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "test_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adamw", "params": {"lr": 5e-4, "weight_decay": 1e-4}},
+        "scheduler": {"name": "cosine", "params": {"T_max": args.epochs}},
+        "compute_dtype": "bfloat16",
+        "log_dir": os.path.join(root, "logs"),
+    })
+    t = DGTrainer(cfg)
+    t.build()
+    best, best_epoch = t.train()
+    print(f"RESULT best_val_mae={best:.3f} at epoch {best_epoch}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
