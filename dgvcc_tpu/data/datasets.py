@@ -465,3 +465,56 @@ class BayesianDataset(CrowdDataset):
                               [s["targets"] for s in samples]))
         out["st_sizes"] = np.asarray([s["st_size"] for s in samples], np.float32)
         return out
+
+
+class RawCropDataset:
+    """Minimal-host-work dataset for the device-augmentation path.
+
+    Host does only the expensive-but-unavoidable work — JPEG decode,
+    dmap load, one uint8 pre-crop — and ships raw pixels; the full
+    den_cls augmentation (final crop, flip, greyscale, photometric
+    second view, bmap) runs batched on the TPU
+    (data/device_pipeline.augment_two_view_batch). Built for hosts where
+    CPU augmentation cannot feed the chip (this container has ONE core).
+
+    pre_crop > crop gives the device room for its own random crop; the
+    two-stage uniform position is distributionally equivalent to the
+    reference's single uniform crop for positions away from borders.
+    """
+
+    def __init__(self, base: DensityMapDataset, pre_crop: int):
+        self.base = base
+        self.pre_crop = pre_crop
+        self.img_fns = base.img_fns
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index, rng: Optional[random.Random] = None):
+        rng = rng or random
+        b = self.base
+        img_fn = b.img_fns[index]
+        img, img_ext = b._load_img(img_fn)
+        gt_fn, basename = b._gt_path(img_fn, img_ext)
+        dmap = b._load_dmap(gt_fn, basename).astype(np.float32)
+
+        w, h = img.size
+        pc = self.pre_crop
+        if w < pc or h < pc:
+            padding, h, w = get_padding(h, w, pc, pc)
+            img = T.pil_pad(img, padding)
+            dmap = T.np_pad_hw(dmap, padding)
+        i, j = random_crop(h, w, pc, pc, rng)
+        img = img.crop((j, i, j + pc, i + pc))
+        dmap = dmap[i : i + pc, j : j + pc]
+        return {
+            "frames_u8": np.asarray(img, np.uint8),
+            "dmaps": dmap[..., None],
+        }
+
+    @staticmethod
+    def collate(samples):
+        return {
+            "frames_u8": np.stack([s["frames_u8"] for s in samples]),
+            "dmaps": np.stack([s["dmaps"] for s in samples]),
+        }

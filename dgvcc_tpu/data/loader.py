@@ -15,17 +15,29 @@ design:
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import random
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
 
+# fork-inherited dataset for process workers (PIL + numpy augmentation is
+# GIL-bound: threads top out well below TPU step throughput)
+_WORKER_DATASET = None
+
+
+def _process_fetch(args):
+    seed_key, index = args
+    rng = random.Random(seed_key)
+    return _WORKER_DATASET.__getitem__(index, rng=rng)
+
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 0, drop_last: Optional[bool] = None,
                  seed: int = 0, collate=None, prefetch: int = 2,
+                 worker_mode: str = "thread",
                  pin_memory: bool = False):  # pin_memory: YAML compat no-op
         self.dataset = dataset
         self.batch_size = batch_size
@@ -35,7 +47,9 @@ class DataLoader:
         self.seed = seed
         self.collate = collate if collate is not None else type(dataset).collate
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
         self.epoch = 0
+        self._pool = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -54,9 +68,35 @@ class DataLoader:
             rs.shuffle(idx)
         return idx
 
+    # NOTE: on a single-core host (this container) 'thread' outperforms
+    # 'process' (fork+pickle overhead with no parallelism to gain);
+    # many-core TPU hosts should use 'process'. For full host-offload use
+    # the device_aug path (RawCropDataset + data/device_pipeline.py).
+    def _seed_key(self, index: int) -> str:
+        return f"{self.seed}:{self.epoch}:{int(index)}"
+
     def _fetch(self, index: int):
-        rng = random.Random(f"{self.seed}:{self.epoch}:{int(index)}")
+        rng = random.Random(self._seed_key(index))
         return self.dataset.__getitem__(int(index), rng=rng)
+
+    def _get_pool(self):
+        if self._pool is None:
+            global _WORKER_DATASET
+            _WORKER_DATASET = self.dataset
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self) -> Iterator:
         idx = self._indices()
@@ -68,6 +108,15 @@ class DataLoader:
             for b in batches:
                 samples = [self._fetch(i) for i in b]
                 yield self._assemble(samples)
+            return
+
+        if self.worker_mode == "process":
+            pool = self._get_pool()
+            args = [(self._seed_key(i), int(i)) for b in batches for i in b]
+            it = pool.imap(_process_fetch, args,
+                           chunksize=max(1, self.batch_size // 2))
+            for b in batches:
+                yield self._assemble([next(it) for _ in range(len(b))])
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

@@ -69,12 +69,24 @@ class DGTrainer:
                                   **cfg.model.get("params", {}))
         self.loss = LOSSES.build(cfg.loss["name"], **cfg.loss.get("params", {}))
 
+        # device_aug: host ships raw uint8 pre-crops; the full two-view
+        # augmentation runs on-device (data/device_pipeline.py). Built for
+        # CPU-starved hosts; requires an MSE-mode den/den_cls dataset.
+        self.device_aug = bool(cfg.extra.get("device_aug", False))
+        self._train_crop = None
+
         self.loaders = {}
         for split in ("train", "val", "test"):
             spec = getattr(cfg, f"{split}_dataset")
             if spec is None:
                 continue
             ds = DATASETS.build(spec["name"], method=split, **spec.get("params", {}))
+            if split == "train" and self.device_aug:
+                from dgvcc_tpu.data.datasets import RawCropDataset
+
+                crop = spec.get("params", {}).get("crop_size", 320)
+                self._train_crop = crop
+                ds = RawCropDataset(ds, pre_crop=crop + 64)
             self.loaders[split] = build_loader(
                 ds, getattr(cfg, f"{split}_loader") or {}, seed=cfg.seed
             )
@@ -249,9 +261,18 @@ class DGTrainer:
             masks, nums = self.isw_tracker.mask_batch()
             isw_extra = {"isw_masks": masks, "isw_nums": nums}
         for batch in train_loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if k in ("img1", "img2", "dmap", "bmap", "points",
-                              "pt_mask", "targets", "st_sizes")}
+            if self.device_aug:
+                from dgvcc_tpu.data.device_pipeline import augment_two_view_batch
+
+                self.rng, aug_rng = jax.random.split(self.rng)
+                batch = augment_two_view_batch(
+                    jnp.asarray(batch["frames_u8"]), jnp.asarray(batch["dmaps"]),
+                    aug_rng, crop=self._train_crop,
+                )
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k in ("img1", "img2", "dmap", "bmap", "points",
+                                  "pt_mask", "targets", "st_sizes")}
             batch.update(isw_extra)
             self.rng, step_rng = jax.random.split(self.rng)
             if self.joint:

@@ -78,3 +78,37 @@ def test_device_photometric_ops_match_host_semantics():
     ours = np.asarray(jnp.clip(adjust_saturation(x, 0.7), 0, 1)) * 255
     golden = np.asarray(ImageEnhance.Color(Image.fromarray(img)).enhance(0.7))
     assert np.abs(ours - golden).max() <= 2.0
+
+
+def test_raw_crop_dataset(tmp_path):
+    import random
+    from PIL import Image
+    from dgvcc_tpu.core.registry import DATASETS
+    import dgvcc_tpu.data  # noqa: F401
+    from dgvcc_tpu.data.datasets import RawCropDataset
+    from dgvcc_tpu.ops.dmap import gaussian_density_fixed_np
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "train"
+    d.mkdir()
+    for k in range(2):
+        h, w = 100, 120
+        Image.fromarray(rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)).save(
+            d / f"i{k}.jpg")
+        pts = rng.uniform(0, [w, h], (5, 2)).astype(np.float32)
+        np.save(d / f"i{k}.npy", pts)
+        np.save(d / f"i{k}_dmap.npy", gaussian_density_fixed_np((h, w), pts))
+
+    base = DATASETS.build("den", root=str(tmp_path), crop_size=64, downsample=1,
+                          method="train", unit_size=16)
+    ds = RawCropDataset(base, pre_crop=96)
+    s = ds.__getitem__(0, rng=random.Random(0))
+    assert s["frames_u8"].shape == (96, 96, 3) and s["frames_u8"].dtype == np.uint8
+    assert s["dmaps"].shape == (96, 96, 1)
+    b = RawCropDataset.collate([s, ds.__getitem__(1, rng=random.Random(1))])
+    assert b["frames_u8"].shape == (2, 96, 96, 3)
+
+    # pre_crop larger than the image → padded
+    ds2 = RawCropDataset(base, pre_crop=160)
+    s2 = ds2.__getitem__(0, rng=random.Random(0))
+    assert s2["frames_u8"].shape == (160, 160, 3)
