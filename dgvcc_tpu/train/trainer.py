@@ -245,6 +245,9 @@ class DGTrainer:
         start = time.time()
         if self.scheduler is not None:
             self.state = self.state.set_learning_rate(self.scheduler.current_lr)
+            if self.joint:
+                self.gen_state = self.gen_state.set_learning_rate(
+                    self.scheduler.current_lr)
 
         # optional profiler trace of this epoch (config: profile_epoch: N)
         profile_epoch = self.cfg.extra.get("profile_epoch")
@@ -255,7 +258,7 @@ class DGTrainer:
 
         train_loader = self.loaders["train"]
         train_loader.set_epoch(epoch)
-        train_loss = float("nan")
+        metrics = None
         isw_extra = {}
         if self.isw_tracker is not None:
             masks, nums = self.isw_tracker.mask_batch()
@@ -283,13 +286,16 @@ class DGTrainer:
                 self.state, metrics = self.train_step(
                     self.state, batch, step_rng, jnp.int32(epoch)
                 )
-            train_loss = float(metrics["loss_total"])
-            # NaN guard: a non-finite loss means the run is dead — fail
-            # loudly instead of training garbage for hours
-            if not np.isfinite(train_loss):
-                raise FloatingPointError(
-                    f"non-finite training loss at epoch {epoch}: {metrics}"
-                )
+        # read the loss back ONCE per epoch — a per-batch float() would
+        # force a host sync every step (expensive over the device link)
+        train_loss = float(metrics["loss_total"]) if metrics is not None else float("nan")
+        # NaN guard: a non-finite loss means the run is dead — fail
+        # loudly instead of training garbage for hours
+        if metrics is not None and not np.isfinite(train_loss):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch}: "
+                f"{jax.device_get(metrics)}"
+            )
         if profile_epoch is not None and epoch == profile_epoch:
             jax.profiler.stop_trace()
         self.log(f"Epoch {epoch}: Training loss: {train_loss:.4f} "
@@ -477,11 +483,11 @@ class DGTrainer:
         """Whole-image classifier map (stride-16, sigmoid probs)."""
         h, w, _ = img.shape
         tiles, _ = self.counter._whole_image(img)
-
-        @jax.jit
-        def run(variables, x):
-            out = self.model.apply(variables, x)
-            return out[1] if isinstance(out, tuple) else None
-
-        c = run(variables, jnp.asarray(tiles))
+        if not hasattr(self, "_cls_fn"):
+            @jax.jit
+            def run(variables, x):
+                out = self.model.apply(variables, x)
+                return out[1] if isinstance(out, tuple) else None
+            self._cls_fn = run
+        c = self._cls_fn(variables, jnp.asarray(tiles))
         return np.asarray(c)[0, : h // 16, : w // 16, 0]
