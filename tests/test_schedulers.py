@@ -2,7 +2,6 @@
 like the reference, trainers/trainer.py:82-87)."""
 
 import numpy as np
-import pytest
 import torch
 
 from dgvcc_tpu.train.optim import build_scheduler
@@ -52,13 +51,14 @@ def test_cosine_lr():
 def test_onecycle_lr_epoch_stepped():
     """The reference steps OneCycleLR once per epoch — only the first
     num_epochs points of the curve are visited (optim.py docstring)."""
+    # max_lr deliberately != base_lr so a max_lr/base_lr mixup fails
     def factory(o):
         return torch.optim.lr_scheduler.OneCycleLR(
-            o, max_lr=0.1, epochs=150, steps_per_epoch=15,
+            o, max_lr=0.25, epochs=150, steps_per_epoch=15,
             final_div_factor=1000)
     golden = torch_lrs(factory, 150)
     ours = ours_lrs({"name": "onecycle", "params": {
-        "max_lr": 0.1, "epochs": 150, "steps_per_epoch": 15,
+        "max_lr": 0.25, "epochs": 150, "steps_per_epoch": 15,
         "final_div_factor": 1000}}, 0.1, 150)
     np.testing.assert_allclose(ours, golden, rtol=1e-4)
 
