@@ -77,14 +77,6 @@ def jsd_loss(logits1, logits2) -> jnp.ndarray:
     return jnp.mean((p1 - p2) ** 2)
 
 
-def kl_jsd_loss(logits1, logits2) -> jnp.ndarray:
-    """True Jensen-Shannon divergence via KL (models2.py:339-346 uses
-    0.5*(KL(p1||pm)+KL(p2||pm)) normalized by the pixel count)."""
-    p1 = jax.nn.softmax(logits1.astype(jnp.float32), axis=-1)
-    p2 = jax.nn.softmax(logits2.astype(jnp.float32), axis=-1)
-    pm = 0.5 * (p1 + p2)
-    eps = 1e-12
-    kl1 = jnp.sum(pm * (jnp.log(pm + eps) - jnp.log(p1 + eps)), axis=-1)
-    kl2 = jnp.sum(pm * (jnp.log(pm + eps) - jnp.log(p2 + eps)), axis=-1)
-    denom = logits1.shape[1]
-    return 0.5 * (jnp.mean(kl1) + jnp.mean(kl2)) / denom
+# NOTE: the true KL-based JSD used by DensityRegressorM lives in
+# models/regressors.py (true_jsd) — the single canonical implementation,
+# tested against a torch golden.

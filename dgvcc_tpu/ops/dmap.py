@@ -133,7 +133,9 @@ def gaussian_density_jax(
     normalization, int-cast and out-of-bounds-skip semantics).
     """
     r = scipy_radius(sigma, truncate)
-    pts = jnp.floor(points).astype(jnp.int32)  # int() cast of the reference
+    # int() truncates toward zero (so -0.4 → 0, kept at column 0) — match
+    # the reference/golden exactly; floor would drop (-1, 0) coords
+    pts = jnp.trunc(points).astype(jnp.int32)
     px, py = pts[:, 0], pts[:, 1]
     valid = (
         mask.astype(bool)
@@ -223,7 +225,7 @@ def gaussian_density_pallas(
     n = points.shape[0]
     n_pad = max(128, int(math.ceil(n / 128)) * 128)
 
-    pts = jnp.floor(points).astype(jnp.int32)
+    pts = jnp.trunc(points).astype(jnp.int32)  # int()-cast parity, see above
     px = jnp.full((1, n_pad), -10_000, jnp.int32).at[0, :n].set(pts[:, 0])
     py = jnp.full((1, n_pad), -10_000, jnp.int32).at[0, :n].set(pts[:, 1])
     valid = (

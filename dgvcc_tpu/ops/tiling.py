@@ -122,15 +122,23 @@ class TiledCounter:
         return float(self._count(variables, jnp.asarray(tiles), jnp.asarray(masks)))
 
     def density_map(self, variables, img: np.ndarray) -> np.ndarray:
-        """Full-resolution stitched density map (dgtrainer.py:104-120)."""
+        """Stitched density map (dgtrainer.py:104-120).
+
+        Models that predict at a coarser stride (CSRNet 1/8, MCNN 1/4)
+        return a map at that stride — mass-correct, f-times smaller; the
+        full-res crop indices are scaled accordingly.
+        """
         h, w, _ = img.shape
         ps = self.patch_size
         if h >= ps or w >= ps:
             tiles, masks, nh, nw = tile_image(img, ps)
             d = np.asarray(self._dmap(variables, jnp.asarray(tiles)))
-            d = d[: nh * nw].reshape(nh, nw, ps, ps, 1).transpose(0, 2, 1, 3, 4)
-            d = d.reshape(nh * ps, nw * ps, 1)
-            return d[:h, :w, 0]
+            f = ps // d.shape[1]  # output stride of the model
+            psd = ps // f
+            d = d[: nh * nw].reshape(nh, nw, psd, psd, 1).transpose(0, 2, 1, 3, 4)
+            d = d.reshape(nh * psd, nw * psd, 1)
+            return d[: h // f, : w // f, 0]
         tiles, masks = self._whole_image(img)
         d = np.asarray(self._dmap(variables, jnp.asarray(tiles)))[0]
-        return d[:h, :w, 0]
+        f = tiles.shape[1] // d.shape[0]
+        return d[: h // f, : w // f, 0]

@@ -29,9 +29,9 @@ exactly the shipped machinery:
   joint — generator + regressor together (checkpoint may be a
       [gen_ckpt, reg_ckpt] 2-list, dgtrainer.py:35-48): the regressor
       sees (img1, gen(img2)) so it trains against generated styles;
-      the generator gets the reconstruction loss plus an orthogonality
-      regularizer on generated-vs-real stride-16 features (losses/
-      ortho.py) so generated styles stay feature-diverse.
+      the generator gets the reconstruction loss plus a pixel-level
+      orthogonality regularizer (losses/ortho.py) between generated and
+      clean images so the generator doesn't collapse to identity.
 
   discrimination — the regressor's stride-16 features from the two
       views are pushed together with a triplet loss (losses/triplet.py:
@@ -108,12 +108,11 @@ class JointState:
 def build_joint_step(gen_model, reg_model, loss, log_para) -> Callable:
     """One fused step updating generator and regressor together."""
 
-    def gen_loss_fn(gen_params, gen_bs, reg_params, reg_bs, batch, rng):
+    def gen_loss_fn(gen_params, gen_bs, batch, rng):
         gvars = {"params": gen_params, "batch_stats": gen_bs}
-        r1, r2 = jax.random.split(rng)
         fake, gmut = gen_model.apply(gvars, batch["img2"], train=True,
                                      mutable=["batch_stats"],
-                                     rngs={"dropout": r1})
+                                     rngs={"dropout": rng})
         target = batch["img1"].astype(jnp.float32)
         loss_rec = jnp.mean(jnp.abs(fake.astype(jnp.float32) - target))
 
@@ -148,8 +147,7 @@ def build_joint_step(gen_model, reg_model, loss, log_para) -> Callable:
         rg, rr = jax.random.split(rng)
         (gtotal, (gen_bs, fake, loss_rec)), ggrads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(
-            gen_state.params, gen_state.batch_stats,
-            reg_state.params, reg_state.batch_stats, batch, rg)
+            gen_state.params, gen_state.batch_stats, batch, rg)
         gen_state = gen_state.apply_gradients(ggrads, new_batch_stats=gen_bs)
 
         (rtotal, (reg_bs, rmetrics)), rgrads = jax.value_and_grad(
@@ -173,16 +171,19 @@ def build_discrimination_loss(reg_model, loss, log_para):
         variables = {"params": params, "batch_stats": batch_stats}
         r1, r2 = jax.random.split(rng)
 
-        def feats(img, r):
+        def feats(vars_, img, r):
             out, mut = reg_model.apply(
-                variables, img, train=True, mutable=["batch_stats"],
+                vars_, img, train=True, mutable=["batch_stats"],
                 rngs={"dropout": r},
             )
             d = out[0] if isinstance(out, tuple) else out
             return d, mut["batch_stats"]
 
-        d1, bs1 = feats(batch["img1"], r1)
-        d2, _ = feats(batch["img2"], r2)
+        # thread batch stats sequentially through both views, like the
+        # two-view modes in steps.py
+        d1, bs1 = feats(variables, batch["img1"], r1)
+        d2, bs2 = feats({"params": params, "batch_stats": bs1},
+                        batch["img2"], r2)
         loss_den = (_count_loss(loss, d1, batch, log_para)
                     + _count_loss(loss, d2, batch, log_para))
 
@@ -194,6 +195,6 @@ def build_discrimination_loss(reg_model, loss, log_para):
         total = loss_den + loss_tri
         metrics = {"loss_total": total, "loss_den": loss_den,
                    "loss_tri": loss_tri}
-        return total, (bs1, metrics)
+        return total, (bs2, metrics)
 
     return loss_fn

@@ -152,7 +152,6 @@ def build_train_step(
     mode: str,
     log_para: float,
     axis_name: Optional[str] = None,
-    donate: bool = True,
     loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """One fused train step: grads + (optional) cross-chip pmean + update.

@@ -209,9 +209,20 @@ class DGTrainer:
         self.state, extra, warnings = load_checkpoint(path, self.state)
         for w in warnings[:10]:
             self.log(f"  [ckpt] {w}")
+        # exact resume: restore epoch/best/scheduler from the ckpt extra
+        self._resume = extra if isinstance(extra, dict) and "epoch" in extra else None
+        if self._resume and self.scheduler is not None and "scheduler" in self._resume:
+            try:
+                self.scheduler.load_state_dict(
+                    {k: (v.item() if hasattr(v, "item") else v)
+                     for k, v in self._resume["scheduler"].items()})
+            except Exception as e:
+                self.log(f"  [ckpt] scheduler state not restored: {e}")
 
     def _save_last(self, epoch, best):
         extra = {"epoch": epoch, "best": best}
+        if self.scheduler is not None:
+            extra["scheduler"] = self.scheduler.state_dict()
         if self.joint:
             # pair naming parity: *_gen / *_reg (dgtrainer.py:43-48)
             from dgvcc_tpu.train.checkpoint import save_checkpoint
@@ -286,6 +297,8 @@ class DGTrainer:
                 self.state, metrics = self.train_step(
                     self.state, batch, step_rng, jnp.int32(epoch)
                 )
+        if profile_epoch is not None and epoch == profile_epoch:
+            jax.profiler.stop_trace()
         # read the loss back ONCE per epoch — a per-batch float() would
         # force a host sync every step (expensive over the device link)
         train_loss = float(metrics["loss_total"]) if metrics is not None else float("nan")
@@ -296,8 +309,6 @@ class DGTrainer:
                 f"non-finite training loss at epoch {epoch}: "
                 f"{jax.device_get(metrics)}"
             )
-        if profile_epoch is not None and epoch == profile_epoch:
-            jax.profiler.stop_trace()
         self.log(f"Epoch {epoch}: Training loss: {train_loss:.4f} "
                  f"Version: {self.cfg.version}")
 
@@ -309,12 +320,14 @@ class DGTrainer:
         criterion = self.validate(epoch, best_criterion)
         self._last_criterion = criterion
 
-        self._save_last(epoch, best_criterion)
         if criterion < best_criterion:
             best_criterion = criterion
             best_epoch = epoch
+            self._save_last(epoch, best_criterion)
             self.log(f"Epoch {epoch}: saving best model...")
             self._save_best(epoch, criterion)
+        else:
+            self._save_last(epoch, best_criterion)
         return best_criterion, best_epoch
 
     def validate(self, epoch: int, best_criterion: float) -> float:
@@ -364,12 +377,22 @@ class DGTrainer:
         self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
         return crit.avg
 
+    def _resume_point(self):
+        """(start_epoch, best_criterion, best_epoch) after a ckpt load."""
+        r = getattr(self, "_resume", None)
+        if r:
+            epoch = int(np.asarray(r["epoch"]))
+            best = float(np.asarray(r.get("best", 1e10)))
+            self.log(f"Resuming from epoch {epoch} (best {best:.4f})")
+            return epoch + 1, best, epoch
+        return 0, 1e10, -1
+
     def train(self, checkpoint=None, num_epochs: Optional[int] = None):
         self.build()
         self.log(f"Start training at {get_current_datetime()}")
         self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
-        best_criterion, best_epoch = 1e10, -1
-        for epoch in range(num_epochs or self.cfg.num_epochs):
+        start_epoch, best_criterion, best_epoch = self._resume_point()
+        for epoch in range(start_epoch, num_epochs or self.cfg.num_epochs):
             best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")
@@ -384,6 +407,13 @@ class DGTrainer:
         loader = loader or self.loaders["test"]
         meter = DictAvgMeter()
         variables = self._variables()
+
+        if self.mode == "generation":
+            # the generator has no density output — test = reconstruction
+            # error (same metric as validate's generation branch)
+            self.validate(-1, 1e10)
+            self.log(f"End testing at {get_current_datetime()}")
+            return {}
         for sample in loader:
             pred = self.counter.count(variables, sample["img1"])
             gt_count = float(len(sample["gt"]))
@@ -410,8 +440,8 @@ class DGTrainer:
         self.build()
         self.log(f"Start training and testing at {get_current_datetime()}")
         self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
-        best_criterion, best_epoch = 1e10, -1
-        for epoch in range(num_epochs or self.cfg.num_epochs):
+        start_epoch, best_criterion, best_epoch = self._resume_point()
+        for epoch in range(start_epoch, num_epochs or self.cfg.num_epochs):
             prev = best_criterion
             best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
             if best_criterion < prev:

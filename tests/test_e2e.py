@@ -102,3 +102,33 @@ def test_checkpoint_resume_roundtrip(tmp_path, synth_root):
     # optimizer state restored too (reference can't do this)
     for a, b in zip(jax.tree.leaves(t1.state.opt_state), jax.tree.leaves(t2.state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_resume_continues_epoch_and_best(tmp_path, synth_root):
+    """Resume restores epoch counter, best criterion, and scheduler
+    state — the run continues where it stopped instead of restarting."""
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "resume_exact_a"
+    cfg.num_epochs = 2
+    t1 = DGTrainer(cfg)
+    t1.build()
+    best1, be1 = t1.train()
+
+    cfg2 = load_config(cfg_path)
+    cfg2.version = "resume_exact_a"  # same log dir
+    cfg2.num_epochs = 3
+    cfg2.checkpoint = os.path.join(t1.log_dir, "last.ckpt")
+    t2 = DGTrainer(cfg2)
+    t2.build()
+    t2.train()
+    log = open(os.path.join(t2.log_dir, "log.txt")).read()
+    assert "Resuming from epoch 1" in log
+    # only epoch 2 ran in the second session
+    assert log.count("Epoch 2: Training loss") == 1
+    assert "Epoch 0: Training loss" in log.split("Resuming")[0]
+    # scheduler advanced: cosine epoch counter restored (2 steps taken)
+    assert t2.scheduler.epoch >= 3
