@@ -144,12 +144,20 @@ class CrowdDataset:
 
     def _load_dmap(self, gt_fn, base):
         if self.gt_dir is not None:
-            return np.load(os.path.join(self.gt_dir, base + ".npy"))
-        for suffix in ("_dmap", "_dmap2"):
-            p = gt_fn.replace(base + ".npy", base + suffix + ".npy")
-            if os.path.exists(p):
-                return np.load(p)
-        raise FileNotFoundError(f"no density map for {base} next to {gt_fn}")
+            dmap = np.load(os.path.join(self.gt_dir, base + ".npy"))
+        else:
+            for suffix in ("_dmap", "_dmap2"):
+                p = gt_fn.replace(base + ".npy", base + suffix + ".npy")
+                if os.path.exists(p):
+                    dmap = np.load(p)
+                    break
+            else:
+                raise FileNotFoundError(f"no density map for {base} next to {gt_fn}")
+        if self.roi_map is not None:
+            # mask density outside the ROI like the image/points
+            # (den_dataset.py:27-31)
+            dmap = dmap * np.asarray(self.roi_map, np.float32)
+        return dmap
 
     # ---- sampling ---------------------------------------------------------
 
@@ -269,9 +277,12 @@ class DensityMapDataset(CrowdDataset):
         img = self._maybe_grey(img, rng)
 
         if resize_enabled:
-            factor = (rng.random() * 0.5 + 0.75) * self.pre_resize
+            # den resizes UNCONDITIONALLY (the min-size guard is commented
+            # out in den_dataset.py:70 — the padding step below handles
+            # images that shrink under the crop size)
+            factor = self.pre_resize * (rng.random() * 0.5 + 0.75)
             new_w, new_h = int(w * factor), int(h * factor)
-            if factor != 1.0 and min(new_w, new_h) >= min(self.crop_size):
+            if factor != 1.0:
                 w, h = new_w, new_h
                 img = img.resize((w, h))
                 mass = dmap.sum()
@@ -418,7 +429,10 @@ class BayesianDataset(CrowdDataset):
             w, h = new_w, new_h
             img = img.resize((w, h))
             gt = gt * factor
-            dists = dists * factor
+            # NOTE: the reference does NOT rescale the kNN distances after
+            # resizing (bay_dataset.py:58-66 computes dists pre-resize and
+            # leaves them) — its published numbers were trained this way,
+            # so we preserve the behavior verbatim
 
         st_size = min(w, h)
         if st_size < self.crop_size[0]:

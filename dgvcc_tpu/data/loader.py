@@ -146,5 +146,7 @@ def build_loader(dataset, spec: dict, seed: int = 0, collate=None) -> DataLoader
         drop_last=spec.get("drop_last"),
         seed=seed,
         collate=collate,
+        prefetch=spec.get("prefetch", 2),
+        worker_mode=spec.get("worker_mode", "thread"),
         pin_memory=spec.get("pin_memory", False),
     )

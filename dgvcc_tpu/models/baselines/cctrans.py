@@ -70,6 +70,13 @@ class GroupAttention(nn.Module):
         scale = (c // self.num_heads) ** -0.5
         attn = jnp.einsum("bghqd,bghkd->bghqk", q, k,
                           preferred_element_type=jnp.float32) * scale
+        if ph or pw:
+            # mask padded key tokens out of the border windows
+            valid = jnp.ones((h, w), bool)
+            valid = jnp.pad(valid, ((0, ph), (0, pw)))
+            valid = valid.reshape(hg, ws, wg, ws).transpose(0, 2, 1, 3)
+            valid = valid.reshape(1, hg * wg, 1, 1, ws * ws)
+            attn = jnp.where(valid, attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bghqk,bghkd->bghqd", attn, v)
         out = out.reshape(b, hg, wg, self.num_heads, ws, ws, c // self.num_heads)

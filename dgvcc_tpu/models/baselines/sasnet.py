@@ -35,12 +35,29 @@ def _resize_nearest(x, hw):
 
 
 def _adaptive_avg_pool(x, out_hw):
-    """F.adaptive_avg_pool2d for integer-divisible sizes (the SASNet
-    case: feature grids are multiples of H/block)."""
+    """F.adaptive_avg_pool2d: torch cell i averages rows
+    [floor(i*h/oh), ceil((i+1)*h/oh)). Shapes are static, so the cell
+    boundaries unroll to static slices (fast path: exact reshape-mean
+    when divisible)."""
     n, h, w, c = x.shape
     oh, ow = out_hw
-    kh, kw = h // oh, w // ow
-    return x.reshape(n, oh, kh, ow, kw, c).mean(axis=(2, 4))
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        return x.reshape(n, oh, kh, ow, kw, c).mean(axis=(2, 4))
+
+    import math as _math
+
+    def pool_axis(arr, size, out, axis):
+        slices = []
+        for i in range(out):
+            lo = (i * size) // out
+            hi = _math.ceil((i + 1) * size / out)
+            sl = jax.lax.slice_in_dim(arr, lo, hi, axis=axis)
+            slices.append(sl.mean(axis=axis, keepdims=True))
+        return jnp.concatenate(slices, axis=axis)
+
+    x = pool_axis(x, h, oh, 1)
+    return pool_axis(x, w, ow, 2)
 
 
 class BasicConv(nn.Module):

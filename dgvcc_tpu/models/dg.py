@@ -49,6 +49,10 @@ class MemoryBank(nn.Module):
     @nn.compact
     def __call__(self, y, need_logits: bool = True):
         b, h, w, k = y.shape
+        # the bank's feature dim comes from the input; mem_dim documents
+        # the intent and must agree
+        assert k == self.mem_dim, (
+            f"MemoryBank mem_dim={self.mem_dim} but input has {k} channels")
         mem = self.param(
             "mem",
             lambda rng: jax.random.normal(rng, (k, self.mem_size), jnp.float32),

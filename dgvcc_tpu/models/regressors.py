@@ -248,13 +248,15 @@ class DensityRegressorM(nn.Module):
     thrs: float = 0.5
     part_num: int = 1024
     final_dim: int = 256
+    fused_mem: bool = False  # Pallas attention on the inference path
     dtype: Any = jnp.float32
 
     def setup(self):
         d = self.dtype
         self.fe = _VGGUNet(dtype=d)
         self.den_dec = ConvBlock(self.final_dim, kernel_size=1, padding=0, bn=True, dtype=d)
-        self.memory = MemoryBank(self.part_num, self.final_dim, dtype=d)
+        self.memory = MemoryBank(self.part_num, self.final_dim,
+                                 fused=self.fused_mem, dtype=d)
         self.den_head = ConvBlock(1, kernel_size=1, padding=0, dtype=d)
         self.cls_conv1 = ConvBlock(256, bn=True, dtype=d)
         self.cls_drop = Dropout2d(0.5)
@@ -268,7 +270,9 @@ class DensityRegressorM(nn.Module):
     def __call__(self, x, c_gt=None, raw: bool = True, train: bool = False):
         y_cat, x3 = self.fe(x, train=train)
         y_den = self.den_dec(y_cat, train=train)
-        y_new, _ = self.memory(y_den)
+        # inference discards the logits — skip materializing the (B, HW, S)
+        # attention tensor (and use the fused kernel when enabled)
+        y_new, _ = self.memory(y_den, need_logits=False)
         if not raw:
             y_new = jax.lax.stop_gradient(y_new)  # models2.py:298-300
         c = self.cls_head(x3, train=train)

@@ -79,9 +79,11 @@ class SWCounterResNet(nn.Module):
 
 @MODELS.register("sw_vgg")
 class SWCounterVGG(nn.Module):
-    """SWCounter_VGG (SW/__init__.py:12-22): VGG19 with SW after each
-    conv + reg head, x8 upsample. The reference vgg builder
-    (SW/backbones/vgg.py) appends a 512→256→128→1 reg_layer."""
+    """SWCounter_VGG (SW/__init__.py:12-22 → SW/backbones/vgg.py:16-62):
+    the FULL VGG19 conv stack (cfg 'E' minus the trailing pool — 16
+    convs, 4 pools, stride 16, SW after every conv), then x2 bilinear
+    upsample, 512→256→128→1 reg head, |output|, and the counter's x8
+    upsample back to full resolution."""
 
     pretrained: bool = True
     axis_name: Optional[str] = None
@@ -90,11 +92,8 @@ class SWCounterVGG(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         sw_kwargs = dict(SW_KW, axis_name=self.axis_name)
-        # VGG19 features through conv5_4 (stride 8: stop before pool4/5
-        # like the reference's dilated/truncated counting VGG)
-        ch = 3
         idx = 0
-        for v in VGG19_CFG[:-9]:  # up to the 4th block, stride 8
+        for v in VGG19_CFG[:-1]:  # cfg 'E' without the trailing 'M'
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
@@ -103,13 +102,13 @@ class SWCounterVGG(nn.Module):
                 x = SwitchWhiten(v, dtype=self.dtype, name=f"sw{idx}",
                                  **sw_kwargs)(x, train=train)
                 x = nn.relu(x)
-                ch = v
             idx += 1
+        x = upsample(x, 2)  # stride 16 → 8 (vgg.py:49)
         x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg1")(x)
         x = nn.relu(x)
         x = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg2")(x)
         x = nn.relu(x)
-        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="reg3")(x)
+        x = jnp.abs(nn.Conv(1, (1, 1), dtype=self.dtype, name="reg3")(x))
         return upsample(x, 8)
 
 

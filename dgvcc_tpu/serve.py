@@ -73,6 +73,9 @@ class VideoCounter:
                 loaded = serialization.msgpack_restore(f.read())
             variables = {"params": loaded["params"],
                          "batch_stats": loaded.get("batch_stats", {})}
+        # push weights to the device ONCE — numpy inputs would be
+        # re-transferred on every inference call
+        variables = jax.device_put(variables)
         return cls(model, variables, log_para=log_para, dtype=dtype)
 
     def _pad(self, frames: np.ndarray):

