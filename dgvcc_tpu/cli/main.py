@@ -46,6 +46,8 @@ def run(config_path: str, task: str):
         trainer.vis(checkpoint=cfg.checkpoint)
     elif task == "train_test":
         trainer.train_and_test()
+    elif task == "generate":
+        trainer.generate(checkpoint=cfg.checkpoint)
     else:
         raise ValueError(f"Unknown task: {task}")
 
@@ -54,7 +56,8 @@ def main():
     parser = argparse.ArgumentParser(description="dgvcc_tpu experiment runner")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--task", type=str, default="train",
-                        choices=["train", "test", "vis", "train_test"])
+                        choices=["train", "test", "vis", "train_test",
+                                 "generate"])
     args = parser.parse_args()
     run(args.config, args.task)
 

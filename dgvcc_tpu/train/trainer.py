@@ -509,6 +509,60 @@ class DGTrainer:
         self.log(f"Visualization results saved to {self.log_dir}")
         self.log(f"End visualization at {get_current_datetime()}")
 
+    def generate(self, checkpoint=None):
+        """Emit restyled training images with a trained generator into
+        ``{log_dir}/gen`` as ``{name}_a.jpg`` — consumable via the
+        datasets' gen_root option (generated names alias the source gt by
+        stripping the suffix, base_dataset.py:89-92)."""
+        self.build()
+        from PIL import Image as PILImage
+        from dgvcc_tpu.utils.misc import denormalize
+
+        if self.mode != "generation" and not self.joint:
+            raise ValueError("generate requires mode 'generation' or 'joint'")
+        if checkpoint is not None:
+            self.load_ckpt(checkpoint)
+        gen_dir = os.path.join(self.log_dir, "gen")
+        os.makedirs(gen_dir, exist_ok=True)
+        model = self.gen_model if self.joint else self.model
+        state = self.gen_state if self.joint else self.state
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        if not hasattr(self, "_gen_fn"):
+            @jax.jit
+            def run(variables, x):
+                return model.apply(variables, x)
+            self._gen_fn = run
+
+        # iterate the train split through its val-style loader contract:
+        # reuse the train dataset's underlying file list with the clean +
+        # photometric pair produced per-sample
+        ds = self.loaders["train"].dataset
+        base = getattr(ds, "base", ds)  # unwrap RawCropDataset
+        import random as _random
+        from dgvcc_tpu.data import transforms as T
+
+        photo = T.TwoViewPhotometric()
+        for idx, img_fn in enumerate(base.img_fns):
+            name = os.path.basename(img_fn).rsplit(".", 1)[0]
+            out_path = os.path.join(gen_dir, f"{name}_a.jpg")
+            if os.path.exists(out_path):
+                continue
+            img, _ = base._load_img(img_fn)
+            rng = _random.Random(f"gen:{self.cfg.seed}:{idx}")
+            # pad to stride-16 multiple for the generator
+            w, h = img.size
+            nw = (w + 15) // 16 * 16
+            nh = (h + 15) // 16 * 16
+            img_p = T.pil_pad(photo(img, rng), (0, 0, nw - w, nh - h))
+            x = jnp.asarray(T.to_tensor_normalize(img_p))[None]
+            out = np.asarray(self._gen_fn(variables, x))[0, :h, :w]
+            out = np.clip(denormalize(out), 0, 1)
+            PILImage.fromarray((out * 255).astype(np.uint8)).save(out_path,
+                                                                  quality=95)
+        self.log(f"Generated images saved to {gen_dir}")
+        return gen_dir
+
     def _cls_map(self, variables, img):
         """Whole-image classifier map (stride-16, sigmoid probs)."""
         h, w, _ = img.shape
