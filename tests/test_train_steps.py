@@ -149,3 +149,22 @@ def test_sharded_tile_counting_matches_single_device():
     tc = TiledCounter(apply_fn, 1000.0, patch_size=32)
     c_single = tc.count(variables, img)
     assert c_sharded == pytest.approx(c_single, rel=1e-4)
+
+
+def test_memory_attention_tensor_parallel_exact():
+    """Prototype-sharded TP attention == single-device einsum exactly."""
+    from jax.sharding import Mesh
+    from dgvcc_tpu.parallel.tp import memory_attention_tp, shard_memory, MODEL_AXIS
+    from dgvcc_tpu.ops.mem_attention import memory_attention_reference
+
+    devices = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devices, (MODEL_AXIS,))
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(2, 96, 64)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+
+    golden = np.asarray(memory_attention_reference(y, mem))
+    tp_fn = memory_attention_tp(mesh)
+    out = np.asarray(tp_fn(y, shard_memory(mesh, mem)))
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
