@@ -39,6 +39,10 @@ def run(config_path: str, task: str):
     if task == "train":
         trainer.train()
     elif task == "test":
+        if cfg.checkpoint is None:
+            raise SystemExit(
+                "--task test requires a checkpoint (config key 'checkpoint') "
+                "— evaluating random weights would report garbage metrics")
         trainer.build()
         trainer.load_ckpt(cfg.checkpoint)
         trainer.test()

@@ -63,9 +63,17 @@ def cal_new_size(im_h, im_w, min_size, max_size):
 
 
 def find_dis(points):
-    """Mean 3-NN distance per point (reference :37-41)."""
+    """Mean 3-NN distance per point (reference :37-41), guarded for
+    sparse images (<4 points) like BayesianDataset._cal_dists."""
+    points = np.asarray(points, np.float64).reshape(-1, 2)
+    if len(points) == 0:
+        return np.zeros((0, 1))
+    if len(points) == 1:
+        return np.array([[4.0]])
     sq = np.sum(points * points, axis=1)
     dis = np.sqrt(np.maximum(sq[:, None] - 2 * points @ points.T + sq[None, :], 0.0))
+    if len(points) < 4:
+        return np.mean(dis[:, 1:], axis=1, keepdims=True)
     return np.mean(np.partition(dis, 3, axis=1)[:, 1:4], axis=1, keepdims=True)
 
 
@@ -190,8 +198,16 @@ def run_jhu(origin_dir, save_dir, min_size, max_size, seed=0):
 
 def run_qnrf(origin_dir, save_dir, min_size, max_size, seed=0, split_file=None):
     train_ims = sorted(glob(os.path.join(origin_dir, "Train", "*jpg")))
-    if split_file:  # optional explicit train/val list (ref :224 uses one)
+    if split_file:
+        # split_file lists the VAL image names (the reference consumes
+        # explicit ucf_{train,val}.txt lists, preprocess_data.py:224)
         val_names = set(open(split_file).read().split())
+        n_match = sum(os.path.basename(p) in val_names for p in train_ims)
+        if n_match > len(train_ims) // 2:
+            raise SystemExit(
+                f"--split-file matches {n_match}/{len(train_ims)} training "
+                "images — this looks like the TRAIN list; pass the VAL list "
+                "(e.g. ucf_val.txt), not ucf_train.txt")
         splits = {"train": [p for p in train_ims if os.path.basename(p) not in val_names],
                   "val": [p for p in train_ims if os.path.basename(p) in val_names]}
     else:

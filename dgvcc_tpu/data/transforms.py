@@ -16,8 +16,7 @@ from typing import Tuple
 import numpy as np
 from PIL import Image, ImageEnhance
 
-NORM_MEAN = 0.5
-NORM_STD = 0.5
+from dgvcc_tpu.utils.misc import NORM_MEAN, NORM_STD  # single source of truth
 
 
 def to_tensor_normalize(img: Image.Image) -> np.ndarray:

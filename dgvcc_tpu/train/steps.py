@@ -50,9 +50,15 @@ def _first(out):
     return out[0] if isinstance(out, tuple) else out
 
 
-def build_loss_fn(model, loss, mode: str, log_para: float) -> Callable:
+def build_loss_fn(model, loss, mode: str, log_para: float,
+                  con_weight: float = 10.0) -> Callable:
     """Returns loss_fn(params, batch_stats, batch, rng, epoch) →
-    (total, (new_batch_stats, metrics))."""
+    (total, (new_batch_stats, metrics)).
+
+    con_weight: weight of the two-view consistency term in 'final' mode
+    (10.0 in the reference, dgtrainer.py:189; the 'nocon' ablation sets
+    it to 0 — the reference did that ablation by code edit, its
+    sta_nocon.yml is otherwise identical to sta_final.yml)."""
 
     def apply(variables, *args, rng=None, method=None, **kwargs):
         out, mut = model.apply(
@@ -116,7 +122,7 @@ def build_loss_fn(model, loss, mode: str, log_para: float) -> Callable:
                         + _count_loss(loss, dc2, batch, log_para))
             loss_cls = bce(c1, batch["bmap"]) + bce(c2, batch["bmap"])
             # err loss is computed but not added, mirroring dgtrainer.py:189
-            total = loss_den + 10.0 * loss_cls + 10.0 * loss_con
+            total = loss_den + 10.0 * loss_cls + con_weight * loss_con
             metrics.update(loss_den=loss_den, loss_cls=loss_cls,
                            loss_con=loss_con, loss_err=loss_err)
 
@@ -153,6 +159,7 @@ def build_train_step(
     log_para: float,
     axis_name: Optional[str] = None,
     loss_fn: Optional[Callable] = None,
+    con_weight: float = 10.0,
 ) -> Callable:
     """One fused train step: grads + (optional) cross-chip pmean + update.
 
@@ -162,7 +169,7 @@ def build_train_step(
     the reference's torch SyncBatchNorm / SyncSwitchWhiten all_reduce
     (models/ISW/sync_switchwhiten.py:21-26).
     """
-    loss_fn = loss_fn or build_loss_fn(model, loss, mode, log_para)
+    loss_fn = loss_fn or build_loss_fn(model, loss, mode, log_para, con_weight)
 
     def step(state: TrainState, batch: Dict[str, Any], rng, epoch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

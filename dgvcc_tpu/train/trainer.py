@@ -141,9 +141,11 @@ class DGTrainer:
             self.state = create_train_state(
                 self.model, jax.random.PRNGKey(cfg.seed), sample, self.tx
             )
+            # 'nocon' ablation: zero the final-mode consistency weight
+            con_weight = 0.0 if cfg.extra.get("no_consistency") else 10.0
             self.train_step = jit_train_step(
                 build_train_step(self.model, self.loss, self.mode, self.log_para,
-                                 loss_fn=custom_loss_fn),
+                                 loss_fn=custom_loss_fn, con_weight=con_weight),
                 donate=cfg.donate,
             )
 
