@@ -120,6 +120,55 @@ def load_vgg16bn_into_unet(variables: Dict, sd: Dict[str, np.ndarray],
     return variables
 
 
+def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
+                     ) -> Tuple[Dict, Dict]:
+    """torchvision resnet50 state dict → (params, batch_stats) matching
+    nn/resnet.py::ResNetTrunk module names (conv1/bn1/layer{k}_{i}/...).
+
+    Whitening-replaced norms (IN/IW/SW stem or post-norm sites) simply
+    have no matching keys and keep their init — the same non-strict
+    semantics as the reference's forgiving_state_restore / strict=False
+    loads (ISW/mynn.py:64-80, SW/backbones/resnet.py:240).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(prefix):
+        return (
+            {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+            {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]},
+        )
+
+    params["conv1"] = {"kernel": conv_to_flax(sd["conv1.weight"])}
+    if "bn1.weight" in sd:
+        p, s = bn("bn1")
+        params["bn1"] = p
+        stats["bn1"] = s
+
+    layers = (3, 4, 6, 3)
+    for k in range(num_stages):
+        for i in range(layers[k]):
+            name = f"layer{k + 1}_{i}"
+            tp = f"layer{k + 1}.{i}"
+            blk_p: Dict = {}
+            blk_s: Dict = {}
+            for j in (1, 2, 3):
+                blk_p[f"conv{j}"] = {"kernel": conv_to_flax(sd[f"{tp}.conv{j}.weight"])}
+                p, s = bn(f"{tp}.bn{j}")
+                blk_p[f"bn{j}"] = p
+                blk_s[f"bn{j}"] = s
+            if f"{tp}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = {
+                    "kernel": conv_to_flax(sd[f"{tp}.downsample.0.weight"])}
+                p, s = bn(f"{tp}.downsample.1")
+                blk_p["downsample_bn"] = p
+                blk_s["downsample_bn"] = s
+            params[name] = blk_p
+            stats[name] = blk_s
+    return params, stats
+
+
 def load_pretrained_backbone(variables: Dict, model_name: str,
                              weights: Dict[str, str]) -> Tuple[Dict, str]:
     """Best-effort pretrained-backbone install by registered model name.
@@ -135,6 +184,43 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
     if model_name in unet_family and "vgg16_bn" in weights:
         sd = load_torch_state_dict(weights["vgg16_bn"])
         return load_vgg16bn_into_unet(variables, sd), "vgg16_bn → fe/stage1-3"
+    if model_name in ("sw", "ibn", "isw") and "resnet50" in weights:
+        # graft into the counter's backbone; whitening-site norms keep
+        # their init (non-strict, like the reference)
+        sd = load_torch_state_dict(weights["resnet50"])
+        p, s = resnet50_to_flax(sd, num_stages=3)
+        # only install leaves that exist in the model (skip bn1 for
+        # in/iw/sw stems etc.)
+        import copy
+
+        out = {"params": copy.deepcopy(dict(variables["params"])),
+               "batch_stats": copy.deepcopy(dict(variables.get("batch_stats", {})))}
+
+        def find_backbone(tree):
+            # sw/ibn: params['backbone']; isw: params['net']['backbone']
+            if "backbone" in tree:
+                return tree["backbone"]
+            for v in tree.values():
+                if isinstance(v, dict) and "backbone" in v:
+                    return v["backbone"]
+            return {}
+
+        bb_p = find_backbone(out["params"])
+        bb_s = find_backbone(out["batch_stats"])
+
+        def merge(dst, src):
+            for k2, v2 in src.items():
+                if k2 not in dst:
+                    continue
+                if isinstance(v2, dict):
+                    merge(dst[k2], v2)
+                else:
+                    if np.shape(dst[k2]) == np.shape(v2):
+                        dst[k2] = v2
+
+        merge(bb_p, p)
+        merge(bb_s, s)
+        return out, "resnet50 → backbone (non-strict)"
     if model_name == "sasnet" and "vgg16_bn" in weights:
         from dgvcc_tpu.nn.vgg import VGG16_CFG
 

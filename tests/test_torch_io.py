@@ -142,3 +142,113 @@ def test_trainer_loads_pretrained_backbone(tmp_path):
     np.testing.assert_array_equal(k, conv_to_flax(sd["features.0.weight"]))
     m = np.asarray(t.state.batch_stats["enc3"]["bn41"]["mean"])
     np.testing.assert_array_equal(m, sd["features.41.running_mean"])
+
+
+def synth_resnet50_sd(rng, num_stages=3):
+    """Random torchvision-format resnet50 state dict (trunk only)."""
+    sd = {}
+
+    def add_bn(prefix, ch):
+        sd[f"{prefix}.weight"] = rng.uniform(0.5, 1.5, ch).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.normal(0, 0.1, ch).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = rng.normal(0, 0.1, ch).astype(np.float32)
+        sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, ch).astype(np.float32)
+
+    sd["conv1.weight"] = rng.normal(0, 0.05, (64, 3, 7, 7)).astype(np.float32)
+    add_bn("bn1", 64)
+    layers = (3, 4, 6, 3)
+    inplanes = 64
+    for k in range(num_stages):
+        planes = 64 * 2**k
+        for i in range(layers[k]):
+            tp = f"layer{k+1}.{i}"
+            sd[f"{tp}.conv1.weight"] = rng.normal(0, 0.05, (planes, inplanes, 1, 1)).astype(np.float32)
+            add_bn(f"{tp}.bn1", planes)
+            sd[f"{tp}.conv2.weight"] = rng.normal(0, 0.05, (planes, planes, 3, 3)).astype(np.float32)
+            add_bn(f"{tp}.bn2", planes)
+            sd[f"{tp}.conv3.weight"] = rng.normal(0, 0.05, (planes * 4, planes, 1, 1)).astype(np.float32)
+            add_bn(f"{tp}.bn3", planes * 4)
+            if i == 0:
+                stride = 1 if k == 0 else 2
+                sd[f"{tp}.downsample.0.weight"] = rng.normal(
+                    0, 0.05, (planes * 4, inplanes, 1, 1)).astype(np.float32)
+                add_bn(f"{tp}.downsample.1", planes * 4)
+            inplanes = planes * 4
+    return sd
+
+
+def torch_resnet_forward(sd, x_nchw, num_stages=3):
+    """Functional torch eval forward of the resnet50 trunk."""
+    def bn(x, p):
+        return TF.batch_norm(x, torch.tensor(sd[f"{p}.running_mean"]),
+                             torch.tensor(sd[f"{p}.running_var"]),
+                             torch.tensor(sd[f"{p}.weight"]),
+                             torch.tensor(sd[f"{p}.bias"]),
+                             training=False, eps=1e-5)
+
+    x = torch.tensor(x_nchw)
+    x = TF.conv2d(x, torch.tensor(sd["conv1.weight"]), stride=2, padding=3)
+    x = TF.relu(bn(x, "bn1"))
+    x = TF.max_pool2d(x, 3, 2, padding=1)
+    layers = (3, 4, 6, 3)
+    for k in range(num_stages):
+        for i in range(layers[k]):
+            tp = f"layer{k+1}.{i}"
+            res = x
+            y = TF.relu(bn(TF.conv2d(x, torch.tensor(sd[f"{tp}.conv1.weight"])), f"{tp}.bn1"))
+            stride = 2 if (k > 0 and i == 0) else 1
+            y = TF.relu(bn(TF.conv2d(y, torch.tensor(sd[f"{tp}.conv2.weight"]),
+                                     stride=stride, padding=1), f"{tp}.bn2"))
+            y = bn(TF.conv2d(y, torch.tensor(sd[f"{tp}.conv3.weight"])), f"{tp}.bn3")
+            if f"{tp}.downsample.0.weight" in sd:
+                res = bn(TF.conv2d(x, torch.tensor(sd[f"{tp}.downsample.0.weight"]),
+                                   stride=stride), f"{tp}.downsample.1")
+            x = TF.relu(y + res)
+    return x.numpy()
+
+
+def test_resnet50_conversion_matches_torch():
+    from dgvcc_tpu.nn.resnet import ResNetTrunk
+    from dgvcc_tpu.nn.torch_io import resnet50_to_flax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    sd = synth_resnet50_sd(rng, num_stages=2)
+    params, stats = resnet50_to_flax(sd, num_stages=2)
+    trunk = ResNetTrunk(layers=(3, 4, 6, 3), num_stages=2)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out, _ = trunk.apply({"params": params, "batch_stats": stats},
+                         jnp.asarray(x))
+    golden = torch_resnet_forward(sd, np.transpose(x, (0, 3, 1, 2)), num_stages=2)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.transpose(golden, (0, 2, 3, 1)),
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_resnet50_pretrained_into_isw_counter(tmp_path):
+    """Non-strict graft: BN weights land in the ISW counter's backbone,
+    whitening sites keep their init, the model still runs."""
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.torch_io import load_pretrained_backbone
+
+    rng = np.random.default_rng(6)
+    sd = synth_resnet50_sd(rng, num_stages=3)
+    pth = tmp_path / "resnet50.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    model = MODELS.build("isw")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    from dgvcc_tpu.nn.torch_io import load_torch_state_dict
+    v2, desc = load_pretrained_backbone(
+        dict(variables), "isw", {"resnet50": str(pth)})
+    assert "resnet50" in desc
+    k = np.asarray(v2["params"]["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        k, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    d = model.apply(v2, x)
+    assert d.shape == (1, 64, 64, 1)
