@@ -247,7 +247,7 @@ def test_resnet50_pretrained_into_isw_counter(tmp_path):
     v2, desc = load_pretrained_backbone(
         dict(variables), "isw", {"resnet50": str(pth)})
     assert "resnet50" in desc
-    k = np.asarray(v2["params"]["backbone"]["conv1"]["kernel"])
+    k = np.asarray(v2["params"]["net"]["backbone"]["conv1"]["kernel"])
     np.testing.assert_array_equal(
         k, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
     d = model.apply(v2, x)
