@@ -361,12 +361,24 @@ class DGTrainer:
             pred = self.counter.count(variables, sample["img1"])
             if self.isw_tracker is not None and "img2" in sample:
                 # predict2: accumulate covariance stats from the two
-                # augmented views (dgtrainer.py:86-102)
-                tiles1, _ = self.counter._whole_image(sample["img1"])
-                tiles2, _ = self.counter._whole_image(sample["img2"])
-                x2 = jnp.concatenate([jnp.asarray(tiles1), jnp.asarray(tiles2)], axis=0)
-                stats = self._cov_stats(variables, x2)
-                self.isw_tracker.add({k: np.asarray(v) for k, v in stats.items()})
+                # augmented views, per patch for large images
+                # (dgtrainer.py:89-96) and whole-image otherwise
+                h, w, _ = sample["img1"].shape
+                if h >= self.patch_size or w >= self.patch_size:
+                    from dgvcc_tpu.ops.tiling import tile_image
+
+                    t1, _, _, _ = tile_image(sample["img1"], self.patch_size)
+                    t2, _, _, _ = tile_image(sample["img2"], self.patch_size)
+                    pairs = [(t1[i : i + 1], t2[i : i + 1])
+                             for i in range(t1.shape[0])]
+                else:
+                    tiles1, _ = self.counter._whole_image(sample["img1"])
+                    tiles2, _ = self.counter._whole_image(sample["img2"])
+                    pairs = [(tiles1, tiles2)]
+                for a, b in pairs:
+                    x2 = jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], axis=0)
+                    stats = self._cov_stats(variables, x2)
+                    self.isw_tracker.add({k: np.asarray(v) for k, v in stats.items()})
             gt_count = float(len(sample["gt"]))
             mae = abs(pred - gt_count)
             crit.update(mae)
