@@ -169,6 +169,62 @@ def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
     return params, stats
 
 
+def altgvt_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Twins-ALTGVT (CCTrans backbone) torch state dict → flax params.
+
+    Maps the reference's module names (models/baselines/CCTrans.py:
+    patch_embeds.{k}, pos_block.{k}, blocks.{k}.{i} with GroupBlock
+    norm1/attn/norm2/mlp) onto models/baselines/cctrans.py names
+    (patch_embed{k}, pos_block{k}, block{k}_{i}). Only backbone keys are
+    mapped — the Regression head trains from scratch like the
+    reference's counting head.
+    """
+    params: Dict = {}
+
+    def dense(prefix):
+        return {"kernel": linear_to_flax(sd[f"{prefix}.weight"]),
+                "bias": sd[f"{prefix}.bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    k = 0
+    while f"patch_embeds.{k}.proj.weight" in sd:
+        params[f"patch_embed{k}"] = {
+            "proj": {"kernel": conv_to_flax(sd[f"patch_embeds.{k}.proj.weight"]),
+                     "bias": sd[f"patch_embeds.{k}.proj.bias"]},
+            "norm": ln(f"patch_embeds.{k}.norm"),
+        }
+        if f"pos_block.{k}.proj.0.weight" in sd:
+            w = sd[f"pos_block.{k}.proj.0.weight"]  # depthwise (C,1,3,3)
+            params[f"pos_block{k}"] = {
+                "proj": {"kernel": conv_to_flax(w),
+                         "bias": sd[f"pos_block.{k}.proj.0.bias"]},
+            }
+        i = 0
+        while f"blocks.{k}.{i}.norm1.weight" in sd:
+            bp: Dict = {"norm1": ln(f"blocks.{k}.{i}.norm1"),
+                        "norm2": ln(f"blocks.{k}.{i}.norm2"),
+                        "mlp": {"fc1": dense(f"blocks.{k}.{i}.mlp.fc1"),
+                                "fc2": dense(f"blocks.{k}.{i}.mlp.fc2")}}
+            ap = f"blocks.{k}.{i}.attn"
+            attn: Dict = {"proj": dense(f"{ap}.proj")}
+            if f"{ap}.qkv.weight" in sd:  # window attention
+                attn["qkv"] = dense(f"{ap}.qkv")
+            else:  # global sub-sampled attention
+                attn["q"] = dense(f"{ap}.q")
+                attn["kv"] = dense(f"{ap}.kv")
+                if f"{ap}.sr.weight" in sd:
+                    attn["sr"] = {"kernel": conv_to_flax(sd[f"{ap}.sr.weight"]),
+                                  "bias": sd[f"{ap}.sr.bias"]}
+                    attn["norm"] = ln(f"{ap}.norm")
+            bp["attn"] = attn
+            params[f"block{k}_{i}"] = bp
+            i += 1
+        k += 1
+    return params, {}
+
+
 def load_pretrained_backbone(variables: Dict, model_name: str,
                              weights: Dict[str, str]) -> Tuple[Dict, str]:
     """Best-effort pretrained-backbone install by registered model name.
@@ -221,6 +277,25 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
         merge(bb_p, p)
         merge(bb_s, s)
         return out, "resnet50 → backbone (non-strict)"
+    if model_name == "cctrans" and "alt_gvt" in weights:
+        sd = load_torch_state_dict(weights["alt_gvt"])
+        p, _ = altgvt_to_flax(sd)
+        import copy
+
+        out = {"params": copy.deepcopy(dict(variables["params"])),
+               "batch_stats": copy.deepcopy(dict(variables.get("batch_stats", {})))}
+
+        def merge(dst, src):
+            for k2, v2 in src.items():
+                if k2 not in dst:
+                    continue
+                if isinstance(v2, dict):
+                    merge(dst[k2], v2)
+                elif np.shape(dst[k2]) == np.shape(v2):
+                    dst[k2] = v2
+
+        merge(out["params"], p)
+        return out, "alt_gvt → transformer backbone (non-strict)"
     if model_name == "sasnet" and "vgg16_bn" in weights:
         from dgvcc_tpu.nn.vgg import VGG16_CFG
 

@@ -252,3 +252,72 @@ def test_resnet50_pretrained_into_isw_counter(tmp_path):
         k, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
     d = model.apply(v2, x)
     assert d.shape == (1, 64, 64, 1)
+
+
+def test_altgvt_conversion_spot_check(tmp_path):
+    """Twins state dict converts and grafts into the CCTrans backbone."""
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.torch_io import load_pretrained_backbone, linear_to_flax
+
+    rng = np.random.default_rng(7)
+    dims = (32, 64, 128, 256)
+    heads = (2, 4, 8, 16)
+    depths = (1, 1, 1, 1)
+    srs = (8, 4, 2, 1)
+
+    sd = {}
+    in_ch = 3
+    for k, d in enumerate(dims):
+        patch = 4 if k == 0 else 2
+        sd[f"patch_embeds.{k}.proj.weight"] = rng.normal(0, 0.05, (d, in_ch, patch, patch)).astype(np.float32)
+        sd[f"patch_embeds.{k}.proj.bias"] = np.zeros(d, np.float32)
+        sd[f"patch_embeds.{k}.norm.weight"] = np.ones(d, np.float32)
+        sd[f"patch_embeds.{k}.norm.bias"] = np.zeros(d, np.float32)
+        sd[f"pos_block.{k}.proj.0.weight"] = rng.normal(0, 0.05, (d, 1, 3, 3)).astype(np.float32)
+        sd[f"pos_block.{k}.proj.0.bias"] = np.zeros(d, np.float32)
+        for i in range(depths[k]):
+            p = f"blocks.{k}.{i}"
+            for n in ("norm1", "norm2"):
+                sd[f"{p}.{n}.weight"] = np.ones(d, np.float32)
+                sd[f"{p}.{n}.bias"] = np.zeros(d, np.float32)
+            if i % 2 == 0:  # window attention
+                sd[f"{p}.attn.qkv.weight"] = rng.normal(0, 0.05, (3 * d, d)).astype(np.float32)
+                sd[f"{p}.attn.qkv.bias"] = np.zeros(3 * d, np.float32)
+            else:
+                sd[f"{p}.attn.q.weight"] = rng.normal(0, 0.05, (d, d)).astype(np.float32)
+                sd[f"{p}.attn.q.bias"] = np.zeros(d, np.float32)
+                sd[f"{p}.attn.kv.weight"] = rng.normal(0, 0.05, (2 * d, d)).astype(np.float32)
+                sd[f"{p}.attn.kv.bias"] = np.zeros(2 * d, np.float32)
+                if srs[k] > 1:
+                    sd[f"{p}.attn.sr.weight"] = rng.normal(0, 0.05, (d, d, srs[k], srs[k])).astype(np.float32)
+                    sd[f"{p}.attn.sr.bias"] = np.zeros(d, np.float32)
+                    sd[f"{p}.attn.norm.weight"] = np.ones(d, np.float32)
+                    sd[f"{p}.attn.norm.bias"] = np.zeros(d, np.float32)
+            sd[f"{p}.attn.proj.weight"] = rng.normal(0, 0.05, (d, d)).astype(np.float32)
+            sd[f"{p}.attn.proj.bias"] = np.zeros(d, np.float32)
+            sd[f"{p}.mlp.fc1.weight"] = rng.normal(0, 0.05, (4 * d, d)).astype(np.float32)
+            sd[f"{p}.mlp.fc1.bias"] = np.zeros(4 * d, np.float32)
+            sd[f"{p}.mlp.fc2.weight"] = rng.normal(0, 0.05, (d, 4 * d)).astype(np.float32)
+            sd[f"{p}.mlp.fc2.bias"] = np.zeros(d, np.float32)
+        in_ch = d
+    pth = tmp_path / "alt_gvt.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    model = MODELS.build("cctrans", embed_dims=dims, num_heads=heads,
+                         depths=depths, wss=(4, 4, 4, 4), sr_ratios=srs)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    v2, desc = load_pretrained_backbone(dict(variables), "cctrans",
+                                        {"alt_gvt": str(pth)})
+    assert "alt_gvt" in desc
+    got = np.asarray(v2["params"]["block0_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_array_equal(got, linear_to_flax(sd["blocks.0.0.attn.qkv.weight"]))
+    got = np.asarray(v2["params"]["patch_embed1"]["proj"]["kernel"])
+    np.testing.assert_array_equal(
+        got, np.transpose(sd["patch_embeds.1.proj.weight"], (2, 3, 1, 0)))
+    d = model.apply(v2, x)
+    assert d.shape == (1, 8, 8, 1)
