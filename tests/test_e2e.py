@@ -132,3 +132,34 @@ def test_exact_resume_continues_epoch_and_best(tmp_path, synth_root):
     assert "Epoch 0: Training loss" in log.split("Resuming")[0]
     # scheduler advanced: cosine epoch counter restored (2 steps taken)
     assert t2.scheduler.epoch >= 3
+
+
+def test_bayesian_training_end_to_end(tmp_path, synth_root):
+    """BL-VGG + bay dataset + Bayesian loss through the trainer."""
+    import yaml as _yaml
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    ds_bay = {"name": "bay", "params": {"root": synth_root, "crop_size": 64,
+                                        "downsample": 8, "unit_size": 16}}
+    ds_den = {"name": "den", "params": {"root": synth_root, "crop_size": 64,
+                                        "downsample": 8, "unit_size": 16}}
+    cfg = Config.from_dict({
+        "seed": 3, "version": "bl_e2e", "log_para": 1000, "patch_size": 1440,
+        "mode": "simple", "num_epochs": 1, "checkpoint": None,
+        "model": {"name": "bl", "params": {"pretrained": False}},
+        "train_dataset": ds_bay, "val_dataset": ds_den, "test_dataset": ds_den,
+        "train_loader": {"batch_size": 2, "num_workers": 0, "shuffle": True},
+        "val_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "test_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "loss": {"name": "bl", "params": {"sigma": 8.0, "c_size": 64,
+                                          "stride": 8, "background_ratio": 0.15,
+                                          "use_background": True}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-5}},
+        "scheduler": None, "compute_dtype": "float32",
+        "log_dir": str(tmp_path / "logs"),
+    })
+    t = DGTrainer(cfg)
+    t.build()
+    best, _ = t.train(num_epochs=1)
+    assert np.isfinite(best)
