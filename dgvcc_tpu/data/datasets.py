@@ -405,7 +405,11 @@ class BayesianDataset(CrowdDataset):
     name = "bay"
 
     def _cal_dists(self, pts):
-        # mean 3-NN distance (bay_dataset.py:38-48)
+        # mean 3-NN distance (bay_dataset.py:38-48). NOTE preserved
+        # reference quirk: np.partition only pins column 3, so the 0
+        # self-distance may land inside [:, 1:4] and shrink the mean for
+        # some points (and the <4-point branch keeps a row's own 0) —
+        # the reference's Bayesian targets were produced this way.
         if len(pts) == 0:
             return np.zeros((0, 1))
         if len(pts) == 1:

@@ -67,12 +67,26 @@ class VideoCounter:
             jnp.zeros((1, 256, 256, 3), dtype),
         )
         if ckpt_path:
+            # reuse the trainer's non-strict merge: matching subtrees
+            # restore, mismatches warn instead of failing opaquely later
             from flax import serialization
+            from flax.core import unfreeze
+
+            from dgvcc_tpu.train.checkpoint import _merge_nonstrict
 
             with open(ckpt_path, "rb") as f:
                 loaded = serialization.msgpack_restore(f.read())
-            variables = {"params": loaded["params"],
-                         "batch_stats": loaded.get("batch_stats", {})}
+            warnings: list = []
+            variables = {
+                "params": _merge_nonstrict(unfreeze(variables["params"]),
+                                           loaded.get("params", {}),
+                                           "params", warnings),
+                "batch_stats": _merge_nonstrict(
+                    unfreeze(variables.get("batch_stats", {})),
+                    loaded.get("batch_stats", {}), "batch_stats", warnings),
+            }
+            for w in warnings[:10]:
+                print(f"[serve ckpt] {w}")
         # push weights to the device ONCE — numpy inputs would be
         # re-transferred on every inference call
         variables = jax.device_put(variables)

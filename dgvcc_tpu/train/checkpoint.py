@@ -113,6 +113,23 @@ class CheckpointRotator:
         path = os.path.join(self.log_dir, f"test_{mae}" + self.suffix)
         save_checkpoint(path, state, extra)
 
+    def save_last_pair(self, gen_state, reg_state, extra=None):
+        """Rolling last for (gen, reg) pairs — *_gen/*_reg naming parity
+        with the reference (dgtrainer.py:43-48)."""
+        for old in glob(os.path.join(self.log_dir, "last*" + self.suffix)):
+            os.remove(old)
+        save_checkpoint(os.path.join(self.log_dir, "last_gen" + self.suffix),
+                        gen_state, extra)
+        save_checkpoint(os.path.join(self.log_dir, "last_reg" + self.suffix),
+                        reg_state, extra)
+
+    def save_best_pair(self, gen_state, reg_state, epoch, criterion, extra=None):
+        for old in glob(os.path.join(self.log_dir, "best*" + self.suffix)):
+            os.remove(old)
+        stem = os.path.join(self.log_dir, f"best_{epoch}_{criterion:.4f}")
+        save_checkpoint(stem + "_gen" + self.suffix, gen_state, extra)
+        save_checkpoint(stem + "_reg" + self.suffix, reg_state, extra)
+
     def latest(self) -> Optional[str]:
         cands = glob(os.path.join(self.log_dir, "last" + self.suffix))
         return cands[0] if cands else None

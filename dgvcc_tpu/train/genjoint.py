@@ -164,14 +164,23 @@ def build_joint_step(gen_model, reg_model, loss, log_para) -> Callable:
 
 
 def build_discrimination_loss(reg_model, loss, log_para):
-    """mode='discrimination': count loss + triplet on pooled stride-16
-    features (anchor img1, positive img2, negative shuffled img1)."""
+    """mode='discrimination': count loss + triplet on mean-pooled
+    stride-16 backbone features (anchor img1, positive img2, negative a
+    shuffled-batch img1). Needs batch_size >= 2 — with one sample the
+    rolled negative equals the anchor and the triplet is vacuous."""
+
+    def stride16_feats(m, x):
+        # all counting models here expose the stride-16 trunk via .fe
+        # (DensityRegressor*/_VGGUNet return (y_cat, x3)); eval-mode BN so
+        # the probe doesn't mutate batch stats
+        _, x3 = m.fe(x, train=False)
+        return x3
 
     def loss_fn(params, batch_stats, batch, rng, epoch):
         variables = {"params": params, "batch_stats": batch_stats}
         r1, r2 = jax.random.split(rng)
 
-        def feats(vars_, img, r):
+        def forward(vars_, img, r):
             out, mut = reg_model.apply(
                 vars_, img, train=True, mutable=["batch_stats"],
                 rngs={"dropout": r},
@@ -181,17 +190,24 @@ def build_discrimination_loss(reg_model, loss, log_para):
 
         # thread batch stats sequentially through both views, like the
         # two-view modes in steps.py
-        d1, bs1 = feats(variables, batch["img1"], r1)
-        d2, bs2 = feats({"params": params, "batch_stats": bs1},
-                        batch["img2"], r2)
+        d1, bs1 = forward(variables, batch["img1"], r1)
+        d2, bs2 = forward({"params": params, "batch_stats": bs1},
+                          batch["img2"], r2)
         loss_den = (_count_loss(loss, d1, batch, log_para)
                     + _count_loss(loss, d2, batch, log_para))
 
-        # pooled density maps as embeddings for the triplet
-        emb1 = d1.astype(jnp.float32).mean(axis=(1, 2))
-        emb2 = d2.astype(jnp.float32).mean(axis=(1, 2))
-        neg = jnp.roll(emb1, shift=1, axis=0)
-        loss_tri = triplet_loss(emb1, emb2, neg, margin=0.5)
+        # domain-invariance triplet on pooled stride-16 features
+        f1 = reg_model.apply({"params": params, "batch_stats": bs2},
+                             batch["img1"], method=stride16_feats)
+        f2 = reg_model.apply({"params": params, "batch_stats": bs2},
+                             batch["img2"], method=stride16_feats)
+        emb1 = f1.astype(jnp.float32).mean(axis=(1, 2))  # (B, C)
+        emb2 = f2.astype(jnp.float32).mean(axis=(1, 2))
+        if emb1.shape[0] > 1:
+            neg = jnp.roll(emb1, shift=1, axis=0)
+            loss_tri = triplet_loss(emb1, emb2, neg, margin=0.5)
+        else:
+            loss_tri = jnp.float32(0.0)
         total = loss_den + loss_tri
         metrics = {"loss_total": total, "loss_den": loss_den,
                    "loss_tri": loss_tri}

@@ -107,6 +107,10 @@ class DGTrainer:
             # reference configs say 'dgnet' here; the deleted trainer built
             # the Generator via get_models() (models2.py:513-516)
             self.model = MODELS.build("gen", dtype=dtype)
+        if self.mode == "regression" and cfg.model["name"] not in ("reg_mem", "reg"):
+            # same remap: reference sta_reg.yml says 'dgnet' but the
+            # regression trainer drove DensityRegressorM (get_models())
+            self.model = MODELS.build("reg_mem", dtype=dtype)
         if self.joint:
             from dgvcc_tpu.train.genjoint import build_joint_step
 
@@ -143,11 +147,33 @@ class DGTrainer:
             )
             # 'nocon' ablation: zero the final-mode consistency weight
             con_weight = 0.0 if cfg.extra.get("no_consistency") else 10.0
-            self.train_step = jit_train_step(
-                build_train_step(self.model, self.loss, self.mode, self.log_para,
-                                 loss_fn=custom_loss_fn, con_weight=con_weight),
-                donate=cfg.donate,
-            )
+            # data-parallel mesh: config `mesh: {data: N}` shards batches
+            # over N devices with pmean'd grads/batch-stats
+            dp = int((cfg.mesh or {}).get("data", 1))
+            self.dp_mesh = None
+            if dp > 1:
+                if custom_loss_fn is not None or self.mode == "isw":
+                    raise ValueError(
+                        "mesh data parallelism currently supports modes "
+                        "simple/base/add/cls/final (isw's replicated mask "
+                        f"plumbing and reconstructed mode '{self.mode}' are "
+                        "single-device for now)")
+                from dgvcc_tpu.parallel import make_mesh, build_parallel_train_step
+                from dgvcc_tpu.parallel.mesh import replicate
+
+                self.dp_mesh = make_mesh(dp)
+                self.train_step = build_parallel_train_step(
+                    self.model, self.loss, self.mode, self.log_para,
+                    self.dp_mesh, donate=cfg.donate)
+                self.state = replicate(self.dp_mesh, self.state)
+                self.log(f"Data parallel over {dp} devices")
+            else:
+                self.train_step = jit_train_step(
+                    build_train_step(self.model, self.loss, self.mode,
+                                     self.log_para, loss_fn=custom_loss_fn,
+                                     con_weight=con_weight),
+                    donate=cfg.donate,
+                )
 
         # pretrained ImageNet backbones: config key
         #   pretrained_weights: {vgg16_bn: /path/to/vgg16_bn.pth}
@@ -200,12 +226,22 @@ class DGTrainer:
             return
         if isinstance(path, (list, tuple)):
             gen_path, reg_path = path
+            extra = {}
             if gen_path and self.joint:
                 self.log(f"Loading generator checkpoint from {gen_path}")
-                self.gen_state, _, _ = load_checkpoint(gen_path, self.gen_state)
+                self.gen_state, extra, _ = load_checkpoint(gen_path, self.gen_state)
             if reg_path:
                 self.log(f"Loading regressor checkpoint from {reg_path}")
-                self.state, _, _ = load_checkpoint(reg_path, self.state)
+                self.state, extra, _ = load_checkpoint(reg_path, self.state)
+            # pair checkpoints carry the same extra — resume exactly too
+            self._resume = extra if isinstance(extra, dict) and "epoch" in extra else None
+            if self._resume and self.scheduler is not None and "scheduler" in self._resume:
+                try:
+                    self.scheduler.load_state_dict(
+                        {k: (v.item() if hasattr(v, "item") else v)
+                         for k, v in self._resume["scheduler"].items()})
+                except Exception as e:
+                    self.log(f"  [ckpt] scheduler state not restored: {e}")
             return
         self.log(f"Loading checkpoint from {path}")
         self.state, extra, warnings = load_checkpoint(path, self.state)
@@ -221,34 +257,24 @@ class DGTrainer:
             except Exception as e:
                 self.log(f"  [ckpt] scheduler state not restored: {e}")
 
-    def _save_last(self, epoch, best):
+    def _ckpt_extra(self, epoch, best):
         extra = {"epoch": epoch, "best": best}
         if self.scheduler is not None:
             extra["scheduler"] = self.scheduler.state_dict()
-        if self.joint:
-            # pair naming parity: *_gen / *_reg (dgtrainer.py:43-48)
-            from dgvcc_tpu.train.checkpoint import save_checkpoint
-            import glob as _glob
+        return extra
 
-            for old in _glob.glob(os.path.join(self.log_dir, "last*.ckpt")):
-                os.remove(old)
-            save_checkpoint(os.path.join(self.log_dir, "last_gen.ckpt"),
-                            self.gen_state, extra)
-            save_checkpoint(os.path.join(self.log_dir, "last_reg.ckpt"),
-                            self.state, extra)
+    def _save_last(self, epoch, best):
+        extra = self._ckpt_extra(epoch, best)
+        if self.joint:
+            self.rotator.save_last_pair(self.gen_state, self.state, extra)
         else:
             self.rotator.save_last(self.state, extra)
 
     def _save_best(self, epoch, criterion):
         if self.joint:
-            from dgvcc_tpu.train.checkpoint import save_checkpoint
-            import glob as _glob
-
-            for old in _glob.glob(os.path.join(self.log_dir, "best*.ckpt")):
-                os.remove(old)
-            stem = os.path.join(self.log_dir, f"best_{epoch}_{criterion:.4f}")
-            save_checkpoint(stem + "_gen.ckpt", self.gen_state)
-            save_checkpoint(stem + "_reg.ckpt", self.state)
+            self.rotator.save_best_pair(self.gen_state, self.state, epoch,
+                                        criterion,
+                                        self._ckpt_extra(epoch, criterion))
         else:
             self.rotator.save_best(self.state, epoch, criterion)
 
@@ -289,6 +315,10 @@ class DGTrainer:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k in ("img1", "img2", "dmap", "bmap", "points",
                                   "pt_mask", "targets", "st_sizes")}
+            if getattr(self, "dp_mesh", None) is not None:
+                from dgvcc_tpu.parallel import shard_batch
+
+                batch = shard_batch(self.dp_mesh, batch)
             batch.update(isw_extra)
             self.rng, step_rng = jax.random.split(self.rng)
             if self.joint:
@@ -339,19 +369,23 @@ class DGTrainer:
         variables = self._variables()
 
         if self.mode == "generation":
-            # generator quality = reconstruction error of the aug view
+            # generator quality = reconstruction error of the aug view,
+            # masked to the real image (the bucket padding region would
+            # otherwise bias the criterion by the aspect ratio)
             if not hasattr(self, "_gen_recon"):
                 @jax.jit
-                def _gen_recon(variables, img1, img2):
+                def _gen_recon(variables, img1, img2, mask):
                     out = self.model.apply(variables, img2)
-                    return jnp.mean((out.astype(jnp.float32)
-                                     - img1.astype(jnp.float32)) ** 2)
+                    err = (out.astype(jnp.float32)
+                           - img1.astype(jnp.float32)) ** 2 * mask
+                    return jnp.sum(err) / (jnp.sum(mask) * img1.shape[-1])
                 self._gen_recon = _gen_recon
             for sample in self.loaders["val"]:
-                tiles1, _ = self.counter._whole_image(sample["img1"])
+                tiles1, mask = self.counter._whole_image(sample["img1"])
                 tiles2, _ = self.counter._whole_image(sample.get("img2", sample["img1"]))
                 mse = float(self._gen_recon(variables, jnp.asarray(tiles1),
-                                            jnp.asarray(tiles2)))
+                                            jnp.asarray(tiles2),
+                                            jnp.asarray(mask)))
                 crit.update(mse)
             self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
             self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
@@ -367,10 +401,12 @@ class DGTrainer:
                 if h >= self.patch_size or w >= self.patch_size:
                     from dgvcc_tpu.ops.tiling import tile_image
 
-                    t1, _, _, _ = tile_image(sample["img1"], self.patch_size)
+                    t1, _, nh, nw = tile_image(sample["img1"], self.patch_size)
                     t2, _, _, _ = tile_image(sample["img2"], self.patch_size)
+                    # only the nh*nw REAL tiles — the bucket padding is
+                    # black filler that would skew the covariance stats
                     pairs = [(t1[i : i + 1], t2[i : i + 1])
-                             for i in range(t1.shape[0])]
+                             for i in range(nh * nw)]
                 else:
                     tiles1, _ = self.counter._whole_image(sample["img1"])
                     tiles2, _ = self.counter._whole_image(sample["img2"])

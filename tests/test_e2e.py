@@ -163,3 +163,22 @@ def test_bayesian_training_end_to_end(tmp_path, synth_root):
     t.build()
     best, _ = t.train(num_epochs=1)
     assert np.isfinite(best)
+
+
+def test_mesh_config_data_parallel_training(tmp_path, synth_root):
+    """config mesh: {data: 8} trains over the virtual device mesh."""
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "dp_mesh"
+    cfg.mesh = {"data": 4}  # batch must divide by the data axis
+    cfg.train_loader["batch_size"] = 4
+    t = DGTrainer(cfg)
+    t.build()
+    assert t.dp_mesh is not None
+    best, _ = t.train(num_epochs=1)
+    assert np.isfinite(best)
+    log = open(os.path.join(t.log_dir, "log.txt")).read()
+    assert "Data parallel over 4 devices" in log
