@@ -64,15 +64,16 @@ class SWCounterResNet(nn.Module):
 
     pretrained: bool = True
     axis_name: Optional[str] = None
+    layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         sw_kwargs = dict(SW_KW, axis_name=self.axis_name)
         feats, _ = ResNetTrunk(
-            layers=(3, 4, 6, 3), num_stages=3, stem_norm="sw",
+            layers=self.layers, num_stages=3, stem_norm="sw",
             stage_sw=(True, True, True, False), sw_kwargs=sw_kwargs,
-            dtype=self.dtype, name="backbone",
+            axis_name=self.axis_name, dtype=self.dtype, name="backbone",
         )(x, train=train)
         return CountingHead(dtype=self.dtype, name="head")(feats)
 
@@ -119,13 +120,16 @@ class IBNCounterResNet(nn.Module):
     + post-residual IN in the last blocks of stages 1-2."""
 
     pretrained: bool = True
+    axis_name: Optional[str] = None
+    layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats, _ = ResNetTrunk(
-            layers=(3, 4, 6, 3), num_stages=3, stem_norm="in_affine",
-            stage_post=("in", "in", None, None), dtype=self.dtype, name="backbone",
+            layers=self.layers, num_stages=3, stem_norm="in_affine",
+            stage_post=("in", "in", None, None), axis_name=self.axis_name,
+            dtype=self.dtype, name="backbone",
         )(x, train=train)
         return CountingHead(dtype=self.dtype, name="head")(feats)
 
@@ -133,13 +137,16 @@ class IBNCounterResNet(nn.Module):
 class _ISWNet(nn.Module):
     """Trunk + head; returns (density, w_arr)."""
 
+    axis_name: Optional[str] = None
+    layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats, w_arr = ResNetTrunk(
-            layers=(3, 4, 6, 3), num_stages=3, stem_norm="iw",
-            stage_post=("iw", "iw", None, None), dtype=self.dtype, name="backbone",
+            layers=self.layers, num_stages=3, stem_norm="iw",
+            stage_post=("iw", "iw", None, None), axis_name=self.axis_name,
+            dtype=self.dtype, name="backbone",
         )(x, train=train)
         d = CountingHead(dtype=self.dtype, name="head")(feats)
         return d, w_arr
@@ -164,10 +171,13 @@ class ISWCounterResNet(nn.Module):
     relax_denom: float = 2.0
     clusters: int = 3
     log_para: float = 1000.0
+    axis_name: Optional[str] = None
+    layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.net = _ISWNet(dtype=self.dtype)
+        self.net = _ISWNet(axis_name=self.axis_name, layers=self.layers,
+                           dtype=self.dtype)
 
     def __call__(self, x, gts=None, masks=None, num_sensitive=None,
                  apply_wtloss=True, train: bool = False):

@@ -46,6 +46,7 @@ class Bottleneck(nn.Module):
     ibn_a: bool = False
     post: Optional[str] = None  # None | 'in' | 'iw'
     sw_kwargs: dict = None
+    axis_name: Optional[str] = None  # sync BN/IBN stats over this mesh axis
     dtype: Any = jnp.float32
     expansion: int = 4
 
@@ -53,13 +54,15 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=self.dtype, name=name)
+                                epsilon=1e-5, dtype=self.dtype, name=name,
+                                axis_name=self.axis_name)
 
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         if self.ibn_a:
-            out = IBN(self.planes, dtype=self.dtype, name="bn1")(out, train=train)
+            out = IBN(self.planes, axis_name=self.axis_name, dtype=self.dtype,
+                      name="bn1")(out, train=train)
         else:
             out = bn("bn1")(out)
         out = nn.relu(out)
@@ -107,6 +110,7 @@ class BasicBlock(nn.Module):
     ibn_a: bool = False
     post: Optional[str] = None
     sw_kwargs: dict = None
+    axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     expansion: int = 1
 
@@ -114,7 +118,8 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=self.dtype, name=name)
+                                epsilon=1e-5, dtype=self.dtype, name=name,
+                                axis_name=self.axis_name)
 
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
@@ -124,7 +129,8 @@ class BasicBlock(nn.Module):
             out = SwitchWhiten(self.planes, dtype=self.dtype, name="bn1",
                                **(self.sw_kwargs or {}))(out, train=train)
         elif self.ibn_a:
-            out = IBN(self.planes, dtype=self.dtype, name="bn1")(out, train=train)
+            out = IBN(self.planes, axis_name=self.axis_name, dtype=self.dtype,
+                      name="bn1")(out, train=train)
         else:
             out = bn("bn1")(out)
         out = nn.relu(out)
@@ -171,6 +177,7 @@ class ResNetTrunk(nn.Module):
     stage_ibn_a: Sequence[bool] = (False, False, False, False)
     stage_post: Sequence[Optional[str]] = (None, None, None, None)
     sw_kwargs: dict = None
+    axis_name: Optional[str] = None  # SyncBN analog: pmean batch stats
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -180,7 +187,8 @@ class ResNetTrunk(nn.Module):
                       use_bias=False, dtype=self.dtype, name="conv1")(x)
         if self.stem_norm == "bn":
             out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, dtype=self.dtype, name="bn1")(out)
+                               epsilon=1e-5, dtype=self.dtype, name="bn1",
+                               axis_name=self.axis_name)(out)
         elif self.stem_norm == "in_affine":
             out = InstanceNorm(affine=True, name="bn1")(out)
         elif self.stem_norm == "iw":
@@ -214,6 +222,7 @@ class ResNetTrunk(nn.Module):
                     ibn_a=self.stage_ibn_a[k],
                     post=self.stage_post[k] if is_last else None,
                     sw_kwargs=self.sw_kwargs,
+                    axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"layer{k + 1}_{i}",
                 )(out, train=train)

@@ -40,7 +40,10 @@ def newton_schulz_inv_sqrt(cov: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
     tr = jnp.trace(cov, axis1=-2, axis2=-1)[..., None, None]
     r_tr = 1.0 / tr
     cov_n = cov * r_tr
-    p = jnp.broadcast_to(eye, cov.shape)
+    # derive p from cov (not a fresh broadcast) so it inherits cov's
+    # varying-manual-axes under shard_map — the scan carry type must be
+    # stable across iterations
+    p = jnp.zeros_like(cov_n) + eye
 
     def body(p, _):
         p3 = p @ p @ p
@@ -216,6 +219,7 @@ class IBN(nn.Module):
 
     planes: int
     ratio: float = 0.5
+    axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -224,7 +228,8 @@ class IBN(nn.Module):
         x1, x2 = x[..., :half], x[..., half:]
         y1 = InstanceNorm(affine=True, name="IN")(x1)
         y2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype, name="BN")(x2)
+                          epsilon=1e-5, dtype=self.dtype, name="BN",
+                          axis_name=self.axis_name)(x2)
         return jnp.concatenate([y1, y2], axis=-1)
 
 

@@ -46,23 +46,41 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+# batch keys that are per-step CONSTANTS, replicated on every shard
+# rather than split along the batch axis (the ISW sensitive-covariance
+# masks from IswCovTracker.mask_batch — the reference broadcasts them
+# implicitly because its CovMatrix_ISW lives on every rank,
+# models/ISW/cov_settings.py:16-89)
+_REPLICATED_PREFIX = "isw_"
+
+
 def build_parallel_train_step(
-    model, loss, mode: str, log_para: float, mesh: Mesh, donate: bool = True
+    model, loss, mode: str, log_para: float, mesh: Mesh, donate: bool = True,
+    loss_fn: Optional[Callable] = None, con_weight: float = 10.0,
 ) -> Callable:
     """shard_map-wrapped train step: per-shard fwd/bwd + pmean sync.
 
     Input batch must be sharded on axis 0 over the data axis (use
-    :func:`shard_batch`); state is replicated. Returns a jitted callable
-    (state, batch, rng, epoch) → (state, metrics).
-    """
-    per_shard = build_train_step(model, loss, mode, log_para, axis_name=DATA_AXIS)
+    :func:`shard_batch`); state is replicated. Batch keys starting with
+    ``isw_`` are treated as replicated constants (whitening masks).
+    Returns a callable (state, batch, rng, epoch) → (state, metrics).
 
-    def wrapped(state, batch, rng, epoch):
+    Live cross-shard statistic sync (the SyncSwitchWhiten /
+    SyncBatchNorm role, models/ISW/sync_switchwhiten.py:12-56) happens
+    INSIDE the model forward: build the model with
+    ``axis_name=DATA_AXIS`` so SwitchWhiten/BatchNorm pmean their batch
+    mean/cov over the mesh axis during training.
+    """
+    per_shard = build_train_step(model, loss, mode, log_para,
+                                 axis_name=DATA_AXIS, loss_fn=loss_fn,
+                                 con_weight=con_weight)
+
+    def wrapped(state, batch, consts, rng, epoch):
         # same dropout key on every shard would correlate noise; fold in
         # the shard index
         idx = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, idx)
-        return per_shard(state, batch, rng, epoch)
+        return per_shard(state, dict(batch, **consts), rng, epoch)
 
     state_spec = P()  # replicated
     batch_spec = P(DATA_AXIS)
@@ -70,7 +88,40 @@ def build_parallel_train_step(
     sm = shard_map(
         wrapped,
         mesh=mesh,
-        in_specs=(state_spec, batch_spec, state_spec, state_spec),
+        in_specs=(state_spec, batch_spec, state_spec, state_spec, state_spec),
         out_specs=(state_spec, state_spec),
     )
-    return jax.jit(sm, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(sm, donate_argnums=(0,) if donate else ())
+
+    def call(state, batch, rng, epoch):
+        consts = {k: batch.pop(k) for k in list(batch)
+                  if k.startswith(_REPLICATED_PREFIX)}
+        return jitted(state, batch, consts, rng, epoch)
+
+    return call
+
+
+def build_parallel_joint_step(gen_model, reg_model, loss, log_para,
+                              mesh: Mesh, donate: bool = True) -> Callable:
+    """shard_map wrapper for the two-optimizer joint mode: generator and
+    regressor each get DDP-mean gradients and pmean'd batch stats
+    (train/genjoint.py::build_joint_step with axis_name). Signature
+    (gen_state, reg_state, batch, rng, epoch) → (gen_state, reg_state,
+    metrics)."""
+    from dgvcc_tpu.train.genjoint import build_joint_step
+
+    per_shard = build_joint_step(gen_model, reg_model, loss, log_para,
+                                 axis_name=DATA_AXIS)
+
+    def wrapped(gen_state, reg_state, batch, rng, epoch):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(rng, idx)
+        return per_shard(gen_state, reg_state, batch, rng, epoch)
+
+    sm = shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(sm, donate_argnums=(0, 1) if donate else ())

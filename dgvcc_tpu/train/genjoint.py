@@ -105,8 +105,15 @@ class JointState:
         self.reg = reg
 
 
-def build_joint_step(gen_model, reg_model, loss, log_para) -> Callable:
-    """One fused step updating generator and regressor together."""
+def build_joint_step(gen_model, reg_model, loss, log_para,
+                     axis_name=None) -> Callable:
+    """One fused step updating generator and regressor together.
+
+    With ``axis_name`` set the step runs per-shard inside shard_map over
+    a data mesh axis (parallel/mesh.py::build_parallel_joint_step): both
+    models' gradients are psum'd by the shard_map transpose rule and
+    divided by the axis size (DDP mean), batch stats and metrics are
+    pmean'd."""
 
     def gen_loss_fn(gen_params, gen_bs, batch, rng):
         gvars = {"params": gen_params, "batch_stats": gen_bs}
@@ -148,19 +155,28 @@ def build_joint_step(gen_model, reg_model, loss, log_para) -> Callable:
         (gtotal, (gen_bs, fake, loss_rec)), ggrads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(
             gen_state.params, gen_state.batch_stats, batch, rg)
+        if axis_name is not None:
+            n = jax.lax.axis_size(axis_name)
+            ggrads = jax.tree.map(lambda g: g / n, ggrads)
+            gen_bs = jax.lax.pmean(gen_bs, axis_name)
         gen_state = gen_state.apply_gradients(ggrads, new_batch_stats=gen_bs)
 
         (rtotal, (reg_bs, rmetrics)), rgrads = jax.value_and_grad(
             reg_loss_fn, has_aux=True)(
             reg_state.params, reg_state.batch_stats, batch, fake, rr)
+        if axis_name is not None:
+            rgrads = jax.tree.map(lambda g: g / n, rgrads)
+            reg_bs = jax.lax.pmean(reg_bs, axis_name)
         reg_state = reg_state.apply_gradients(rgrads, new_batch_stats=reg_bs)
 
         metrics = {"loss_total": rtotal + gtotal, "loss_gen": gtotal,
                    "loss_rec": loss_rec}
         metrics.update(rmetrics)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
         return gen_state, reg_state, metrics
 
-    return jax.jit(step)
+    return step if axis_name is not None else jax.jit(step)
 
 
 def build_discrimination_loss(reg_model, loss, log_para):

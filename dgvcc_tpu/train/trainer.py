@@ -65,8 +65,29 @@ class DGTrainer:
         import dgvcc_tpu.data  # noqa: F401
 
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.model = MODELS.build(cfg.model["name"], dtype=dtype,
-                                  **cfg.model.get("params", {}))
+
+        # data-parallel mesh: config `mesh: {data: N}` shards batches over
+        # N devices. Decided BEFORE model construction so whitening/BN
+        # layers can be built with the mesh axis name — SwitchWhiten and
+        # BatchNorm then pmean their batch mean/cov across shards in the
+        # training forward, the jax-collective equivalent of the
+        # reference's SyncSwitchWhiten/SyncBatchNorm all_reduce
+        # (models/ISW/sync_switchwhiten.py:12-56, ISW/config.py:135).
+        dp = int((cfg.mesh or {}).get("data", 1))
+        self.dp_mesh = None
+        if dp > 1:
+            from dgvcc_tpu.parallel import make_mesh
+
+            self.dp_mesh = make_mesh(dp)
+
+        model_params = dict(cfg.model.get("params", {}))
+        if dp > 1:
+            from dgvcc_tpu.parallel.mesh import DATA_AXIS
+
+            target = MODELS.get(cfg.model["name"])
+            if "axis_name" in getattr(target, "__dataclass_fields__", {}):
+                model_params.setdefault("axis_name", DATA_AXIS)
+        self.model = MODELS.build(cfg.model["name"], dtype=dtype, **model_params)
         self.loss = LOSSES.build(cfg.loss["name"], **cfg.loss.get("params", {}))
 
         # device_aug: host ships raw uint8 pre-crops; the full two-view
@@ -124,9 +145,20 @@ class DGTrainer:
             self.state = create_train_state(
                 self.reg_model, jax.random.PRNGKey(cfg.seed), sample, self.tx
             )
-            self.joint_step = build_joint_step(
-                self.gen_model, self.reg_model, self.loss, self.log_para
-            )
+            if self.dp_mesh is not None:
+                from dgvcc_tpu.parallel.mesh import (
+                    build_parallel_joint_step, replicate)
+
+                self.joint_step = build_parallel_joint_step(
+                    self.gen_model, self.reg_model, self.loss, self.log_para,
+                    self.dp_mesh, donate=cfg.donate)
+                self.gen_state = replicate(self.dp_mesh, self.gen_state)
+                self.state = replicate(self.dp_mesh, self.state)
+                self.log(f"Joint data parallel over {dp} devices")
+            else:
+                self.joint_step = build_joint_step(
+                    self.gen_model, self.reg_model, self.loss, self.log_para
+                )
         else:
             if self.mode == "generation":
                 from dgvcc_tpu.train.genjoint import build_generation_loss
@@ -147,24 +179,14 @@ class DGTrainer:
             )
             # 'nocon' ablation: zero the final-mode consistency weight
             con_weight = 0.0 if cfg.extra.get("no_consistency") else 10.0
-            # data-parallel mesh: config `mesh: {data: N}` shards batches
-            # over N devices with pmean'd grads/batch-stats
-            dp = int((cfg.mesh or {}).get("data", 1))
-            self.dp_mesh = None
-            if dp > 1:
-                if custom_loss_fn is not None or self.mode == "isw":
-                    raise ValueError(
-                        "mesh data parallelism currently supports modes "
-                        "simple/base/add/cls/final (isw's replicated mask "
-                        f"plumbing and reconstructed mode '{self.mode}' are "
-                        "single-device for now)")
-                from dgvcc_tpu.parallel import make_mesh, build_parallel_train_step
+            if self.dp_mesh is not None:
+                from dgvcc_tpu.parallel import build_parallel_train_step
                 from dgvcc_tpu.parallel.mesh import replicate
 
-                self.dp_mesh = make_mesh(dp)
                 self.train_step = build_parallel_train_step(
                     self.model, self.loss, self.mode, self.log_para,
-                    self.dp_mesh, donate=cfg.donate)
+                    self.dp_mesh, donate=cfg.donate, loss_fn=custom_loss_fn,
+                    con_weight=con_weight)
                 self.state = replicate(self.dp_mesh, self.state)
                 self.log(f"Data parallel over {dp} devices")
             else:
