@@ -15,8 +15,12 @@ ISW three-phase protocol (ISW/__init__.py:70-122), made jit-pure:
   (c) eval forward returns the density map.
 Mask selection (cov_settings.py:52-81) runs on host: top-k over the
 accumulated variance-of-covariance, with k from the relax_denom margin
-or from 1-D k-means cluster-0 counting (we implement Lloyd's k-means in
-numpy — the kmeans1d package is unavailable).
+or from 1-D k-means cluster-0 counting. The k-means is the EXACT
+dynamic-programming algorithm of the reference's kmeans1d dependency
+(utils/kmeans1d.py: C++ fast path + numpy fallback), so mask selection
+is provably identical. :class:`IrwCovTracker` supplies the static IRW
+masks (wt_layer code 1, cov_settings.py:91-107): the full off-diagonal
+with a relax_denom margin.
 """
 
 from __future__ import annotations
@@ -180,7 +184,7 @@ class ISWCounterResNet(nn.Module):
                            dtype=self.dtype)
 
     def __call__(self, x, gts=None, masks=None, num_sensitive=None,
-                 apply_wtloss=True, train: bool = False):
+                 margins=None, apply_wtloss=True, train: bool = False):
         d, w_arr = self.net(x, train=train)
         if not train:
             return d
@@ -188,8 +192,9 @@ class ISWCounterResNet(nn.Module):
         wt_loss = jnp.float32(0.0)
         if masks is not None:
             for i, w in enumerate(w_arr):
+                margin = margins[f"m{i}"] if margins is not None else 0.0
                 wt_loss = wt_loss + instance_whitening_loss(
-                    w, masks[f"m{i}"], 0.0, num_sensitive[f"m{i}"]
+                    w, masks[f"m{i}"], margin, num_sensitive[f"m{i}"]
                 )
             wt_loss = wt_loss / len(w_arr)
         wt_loss = jnp.where(jnp.asarray(apply_wtloss), wt_loss, 0.0)
@@ -213,25 +218,15 @@ class ISWCounterResNet(nn.Module):
 # Host-side covariance tracking + mask selection (CovMatrix_ISW role)
 # ---------------------------------------------------------------------------
 
-def kmeans_1d(values: np.ndarray, k: int, iters: int = 50):
-    """Lloyd's 1-D k-means with quantile init. Returns (labels, centroids)
+def kmeans_1d(values: np.ndarray, k: int):
+    """Exact 1-D k-means (utils/kmeans1d.py — the reference's kmeans1d
+    package algorithm, cov_settings.py:58). Returns (labels, centroids)
     with centroids sorted ascending — cluster 0 = smallest values (the
     'insensitive' covariances, cov_settings.py:57-59)."""
-    v = np.asarray(values, np.float64).ravel()
-    k = min(k, len(np.unique(v)))
-    cents = np.quantile(v, np.linspace(0, 1, k))
-    cents = np.unique(cents)
-    for _ in range(iters):
-        labels = np.argmin(np.abs(v[:, None] - cents[None, :]), axis=1)
-        new = np.array([v[labels == j].mean() if np.any(labels == j) else cents[j]
-                        for j in range(len(cents))])
-        if np.allclose(new, cents):
-            break
-        cents = new
-    order = np.argsort(cents)
-    remap = np.empty_like(order)
-    remap[order] = np.arange(len(order))
-    return remap[labels], cents[order]
+    from dgvcc_tpu.utils.kmeans1d import cluster
+
+    labels, cents = cluster(values, k)
+    return np.asarray(labels, np.int64), np.asarray(cents, np.float64)
 
 
 class IswCovTracker:
@@ -288,8 +283,9 @@ class IswCovTracker:
         self.count = 0
 
     def mask_batch(self):
-        """Masks as jit-friendly dicts; identity-permissive default
-        (all-zero masks → zero wt loss) before any stats exist."""
+        """(masks, nums, margins) as jit-friendly dicts; identity-
+        permissive default (all-zero masks → zero wt loss) before any
+        stats exist. ISW margins are always 0 (cov_settings.py:47)."""
         if self.masks is None:
             masks = [np.zeros((d, d), np.float32) for d in self.dims]
             nums = [1.0] * len(self.dims)
@@ -298,4 +294,42 @@ class IswCovTracker:
         return (
             {f"m{i}": jnp.asarray(m) for i, m in enumerate(masks)},
             {f"m{i}": jnp.asarray(n, jnp.float32) for i, n in enumerate(nums)},
+            {f"m{i}": jnp.float32(0.0) for i in range(len(self.dims))},
         )
+
+
+class IrwCovTracker:
+    """CovMatrix_IRW role (cov_settings.py:91-107): the mask is the
+    STATIC full off-diagonal (upper triangle), with a relax_denom margin
+    subtracted inside the whitening loss and the full off-diagonal count
+    as denominator (ISW/__init__.py:115-116 via get_mask_matrix). No
+    covariance statistics are accumulated — the trainer's covstat pass
+    and set_mask_matrix are no-ops."""
+
+    def __init__(self, dims: Sequence[int] = ISW_WT_CHANNELS,
+                 relax_denom: float = 0.0, clusters: int = 0):
+        self.dims = list(dims)
+        self.relax_denom = relax_denom
+
+    def reset(self):
+        pass
+
+    def add(self, var_covs):
+        pass
+
+    def has_stats(self) -> bool:
+        return False
+
+    def set_mask_matrix(self):
+        pass
+
+    def mask_batch(self):
+        masks, nums, margins = {}, {}, {}
+        for i, d in enumerate(self.dims):
+            num_off = d * (d - 1) // 2
+            margin = num_off // self.relax_denom if self.relax_denom else 0
+            masks[f"m{i}"] = jnp.asarray(
+                np.triu(np.ones((d, d), np.float32), k=1))
+            nums[f"m{i}"] = jnp.float32(num_off)
+            margins[f"m{i}"] = jnp.float32(margin)
+        return masks, nums, margins

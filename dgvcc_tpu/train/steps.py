@@ -135,6 +135,7 @@ def build_loss_fn(model, loss, mode: str, log_para: float,
                 gts=batch["dmap"] * log_para,
                 masks=batch.get("isw_masks"),
                 num_sensitive=batch.get("isw_nums"),
+                margins=batch.get("isw_margins"),
                 apply_wtloss=epoch > 5,
                 train=True, rng=rng,
             )

@@ -221,12 +221,19 @@ class DGTrainer:
         self.counter = TiledCounter(apply_fn, self.log_para, self.patch_size)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
 
-        # ISW two-pass covariance protocol (dgtrainer.py:86-102)
+        # ISW two-pass covariance protocol (dgtrainer.py:86-102).
+        # Model param wt_type: 'isw' (default, accumulated sensitive-cov
+        # masks) or 'irw' (static off-diagonal masks with margin,
+        # CovMatrix_IRW / wt_layer code 1, cov_settings.py:91-107).
         self.isw_tracker = None
         if self.mode == "isw":
-            from dgvcc_tpu.models.whitening import IswCovTracker
+            from dgvcc_tpu.models.whitening import IrwCovTracker, IswCovTracker
 
-            self.isw_tracker = IswCovTracker(
+            tracker_cls = (
+                IrwCovTracker
+                if cfg.model.get("params", {}).get("wt_type", "isw") == "irw"
+                else IswCovTracker)
+            self.isw_tracker = tracker_cls(
                 relax_denom=cfg.model.get("params", {}).get("relax_denom", 2.0),
                 clusters=cfg.model.get("params", {}).get("clusters", 3),
             )
@@ -322,8 +329,9 @@ class DGTrainer:
         metrics = None
         isw_extra = {}
         if self.isw_tracker is not None:
-            masks, nums = self.isw_tracker.mask_batch()
-            isw_extra = {"isw_masks": masks, "isw_nums": nums}
+            masks, nums, margins = self.isw_tracker.mask_batch()
+            isw_extra = {"isw_masks": masks, "isw_nums": nums,
+                         "isw_margins": margins}
         for batch in train_loader:
             if self.device_aug:
                 from dgvcc_tpu.data.device_pipeline import augment_two_view_batch

@@ -120,7 +120,7 @@ def test_isw_dp_matches_single_device():
     from dgvcc_tpu.models.whitening import IswCovTracker
 
     tracker = IswCovTracker()
-    masks, nums = tracker.mask_batch()
+    masks, nums, _m = tracker.mask_batch()
     _dp_vs_single("isw", "isw",
                   extra_batch={"isw_masks": masks, "isw_nums": nums},
                   layers=(1, 1, 1))
@@ -136,7 +136,7 @@ def test_isw_dp_with_real_masks_runs():
     tracker.add({f"m{i}": rng.uniform(size=(c, c))
                  for i, c in enumerate(ISW_WT_CHANNELS)})
     tracker.set_mask_matrix()
-    masks, nums = tracker.mask_batch()
+    masks, nums, _m = tracker.mask_batch()
 
     mesh = make_mesh(8)
     tx = build_optimizer({"name": "sgd", "params": {"lr": 0.05}})

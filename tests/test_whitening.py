@@ -189,7 +189,7 @@ def test_isw_protocol(counter_input):
     tracker = IswCovTracker()
     tracker.add({k: np.asarray(v) for k, v in stats.items()})
     tracker.set_mask_matrix()
-    masks, nums = tracker.mask_batch()
+    masks, nums, _margins = tracker.mask_batch()
     # relax_denom=2 → keep num_off - num_off//2 sensitive entries
     d0 = 64
     num_off = d0 * (d0 - 1) // 2
@@ -232,7 +232,7 @@ def test_isw_train_step_integration():
     step = jit_train_step(build_train_step(model, loss, "isw", 1000.0), donate=False)
 
     tracker = IswCovTracker()
-    masks, nums = tracker.mask_batch()  # pre-stats: zero masks
+    masks, nums, _m = tracker.mask_batch()  # pre-stats: zero masks
     rng = np.random.default_rng(0)
     batch = {
         "img1": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
@@ -261,3 +261,87 @@ def test_resnet_basic_block_trunk():
     # basic block: stage3 (k=2) has 256 channels, stride 16
     assert feats.shape == (1, 4, 4, 256)
     assert w_arr == []
+
+def test_kmeans1d_exact_golden():
+    """Golden from the kmeans1d package's published example (README):
+    the exact DP must reproduce it; Lloyd from a bad init would not."""
+    from dgvcc_tpu.utils.kmeans1d import cluster, _cluster_python
+
+    x = [4.0, 4.1, 4.2, -50, 200.2, 200.4, 200.9, 80, 100, 102]
+    labels, centroids = cluster(x, 4)
+    assert labels == [1, 1, 1, 0, 3, 3, 3, 2, 2, 2]
+    np.testing.assert_allclose(centroids, [-50.0, 4.1, 94.0, 200.5])
+
+    # python fallback agrees with the dispatcher (native when available)
+    v = np.sort(np.asarray(x, np.float64))
+    lp, cp = _cluster_python(v, 4)
+    assert list(lp) == sorted(labels)
+    np.testing.assert_allclose(cp, centroids)
+
+
+def test_kmeans1d_native_matches_python():
+    """C++ backend == numpy fallback on random data (exact DP in both)."""
+    from dgvcc_tpu.utils.kmeans1d import _cluster_python, _load_library, cluster
+
+    if _load_library() is None:
+        import pytest
+        pytest.skip("native kmeans1d not built")
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=500) * np.repeat([1.0, 10.0, 0.1], [200, 150, 150])
+    labels, cents = cluster(v, 7)
+    order = np.argsort(v, kind="stable")
+    lp, cp = _cluster_python(np.ascontiguousarray(np.sort(v)), 7)
+    np.testing.assert_array_equal(np.asarray(labels)[order], lp)
+    np.testing.assert_allclose(cents, cp, rtol=1e-12)
+    # optimality sanity: total SSE <= Lloyd-style quantile partition SSE
+    def sse_of(lab):
+        lab = np.asarray(lab)
+        return sum(((v[lab == j] - v[lab == j].mean()) ** 2).sum()
+                   for j in np.unique(lab))
+    qlab = np.digitize(v, np.quantile(v, np.linspace(0, 1, 8)[1:-1]))
+    assert sse_of(labels) <= sse_of(qlab) + 1e-9
+
+
+def test_irw_tracker_masks():
+    """CovMatrix_IRW semantics (cov_settings.py:91-107): static upper-
+    triangle mask, margin = num_off // relax_denom, denominator =
+    num_off_diagonal."""
+    from dgvcc_tpu.models.whitening import IrwCovTracker
+
+    tracker = IrwCovTracker(dims=(8, 16), relax_denom=2.0)
+    assert not tracker.has_stats()
+    tracker.set_mask_matrix()  # no-op
+    masks, nums, margins = tracker.mask_batch()
+    m0 = np.asarray(masks["m0"])
+    assert m0.shape == (8, 8)
+    np.testing.assert_array_equal(m0, np.triu(np.ones((8, 8)), k=1))
+    assert float(nums["m0"]) == 28.0  # 8*7/2
+    assert float(margins["m0"]) == 14.0  # 28 // 2
+
+
+def test_isw_train_step_irw_margins():
+    """IRW masks + margins flow through the isw train step."""
+    from dgvcc_tpu.core.registry import MODELS, LOSSES
+    from dgvcc_tpu.models.whitening import IrwCovTracker
+    from dgvcc_tpu.train.state import create_train_state
+    from dgvcc_tpu.train.steps import build_train_step, jit_train_step
+    from dgvcc_tpu.train.optim import build_optimizer
+    import dgvcc_tpu.losses  # noqa: F401
+
+    model = MODELS.build("isw", layers=(1, 1, 1))
+    tx = build_optimizer({"name": "sgd", "params": {"lr": 1e-3}})
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), tx)
+    loss = LOSSES.build("mse")
+    step = jit_train_step(build_train_step(model, loss, "isw", 1000.0),
+                          donate=False)
+    masks, nums, margins = IrwCovTracker(relax_denom=2.0).mask_batch()
+    rng = np.random.default_rng(0)
+    batch = {
+        "img1": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "dmap": jnp.asarray(rng.uniform(0, 0.01, (2, 32, 32, 1)).astype(np.float32)),
+        "isw_masks": masks, "isw_nums": nums, "isw_margins": margins,
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(1), jnp.int32(7))
+    assert np.isfinite(float(m["loss_total"]))
+    assert float(m["loss_wt"]) >= 0.0
