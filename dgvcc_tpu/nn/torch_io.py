@@ -120,6 +120,104 @@ def load_vgg16bn_into_unet(variables: Dict, sd: Dict[str, np.ndarray],
     return variables
 
 
+def vgg_convs_in_order(sd: Dict[str, np.ndarray], cfg, batch_norm: bool = False,
+                       key_prefix: str = "features.", max_convs: int = 10_000):
+    """The conv (kernel, bias) pairs of a torchvision VGG state dict in
+    feature order — for models that index convs by their own scheme
+    rather than the torchvision feature index."""
+    out = []
+    for kind, idx, _arg in feature_layout(cfg, batch_norm):
+        if kind == "conv" and len(out) < max_convs:
+            out.append((conv_to_flax(sd[f"{key_prefix}{idx}.weight"]),
+                        sd[f"{key_prefix}{idx}.bias"]))
+    return out
+
+
+def load_vgg19_into_bl(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision vgg19 features → BLVGG 'features' module (the
+    reference loads the full feature stack strict=False,
+    baselines/BL.py:52-55; module names are torchvision indices so this
+    is a rename)."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    p, s = vgg_features_to_flax(sd, VGG19_CFG, False)
+    return graft(variables, ("features",), p, s)
+
+
+def load_vgg19_into_generator(variables: Dict, sd: Dict[str, np.ndarray],
+                              skip: bool = False) -> Dict:
+    """torchvision vgg19 → Generator enc (features[:26], models2.py:31-33)
+    or Generator0 enc1/enc2/enc3 (features[:9]/[9:18]/[18:26],
+    models2.py:60-64)."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    if skip:
+        for enc, (lo, hi) in (("enc1", (0, 9)), ("enc2", (9, 18)),
+                              ("enc3", (18, 26))):
+            p, s = vgg_features_to_flax(sd, VGG19_CFG, False, lo, hi)
+            variables = graft(variables, (enc,), p, s)
+        return variables
+    p, s = vgg_features_to_flax(sd, VGG19_CFG, False, 0, 26)
+    return graft(variables, ("enc",), p, s)
+
+
+def load_vgg19_into_sw_vgg(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision vgg19 → SWCounterVGG conv{i} sites.
+
+    The reference remaps plain-vgg19 feature indices onto its
+    SW-interleaved Sequential via idx_dict {0:0, 2:3, 5:7, ...}
+    (models/SW/backbones/vgg.py:29-45): the k-th conv of torchvision
+    vgg19 initializes the k-th conv of the SW stack, SW layers keep
+    their init (strict=False). Our conv names are positions in
+    VGG19_CFG[:-1] (models/whitening.py::SWCounterVGG), so the same
+    k-th-conv correspondence applies.
+    """
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    convs = vgg_convs_in_order(sd, VGG19_CFG, batch_norm=False)
+    params: Dict = {}
+    k = 0
+    for pos, v in enumerate(VGG19_CFG[:-1]):
+        if v == "M":
+            continue
+        kernel, bias = convs[k]
+        params[f"conv{pos}"] = {"kernel": kernel, "bias": bias}
+        k += 1
+    return graft(variables, (), params, {})
+
+
+def load_vgg16_into_csrnet(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision vgg16 (plain) → CSRNet frontend conv0-9: the
+    reference copies the first 10 convs positionally
+    (baselines/CSRNet.py:21-28)."""
+    from dgvcc_tpu.nn.vgg import VGG16_CFG
+
+    convs = vgg_convs_in_order(sd, VGG16_CFG, batch_norm=False, max_convs=10)
+    params = {f"conv{i}": {"kernel": w, "bias": b}
+              for i, (w, b) in enumerate(convs)}
+    return graft(variables, ("frontend",), params, {})
+
+
+def load_vgg16_into_dssinet(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision vgg16 conv weights → DSSINet shared front-end stages
+    (stage1: 2 convs, stage2: 2, stage3: 3, stage4: 3 — the cfg 'F'
+    truncation, DSSINet.py:223,293). The reference ships the loader
+    URL commented out (DSSINet.py:136-143) and trains from scratch;
+    this mapping is the natural positional one (PReLU slopes keep
+    their init)."""
+    convs = iter(vgg_convs_in_order(
+        sd, [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512],
+        batch_norm=False))
+    for stage, n in (("stage1", 2), ("stage2", 2), ("stage3", 3),
+                     ("stage4", 3)):
+        params = {}
+        for i in range(n):
+            w, b = next(convs)
+            params[f"conv{i}"] = {"kernel": w, "bias": b}
+        variables = graft(variables, (stage,), params, {})
+    return variables
+
+
 def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
                      ) -> Tuple[Dict, Dict]:
     """torchvision resnet50 state dict → (params, batch_stats) matching
@@ -240,6 +338,24 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
     if model_name in unet_family and "vgg16_bn" in weights:
         sd = load_torch_state_dict(weights["vgg16_bn"])
         return load_vgg16bn_into_unet(variables, sd), "vgg16_bn → fe/stage1-3"
+    if model_name == "bl" and "vgg19" in weights:
+        sd = load_torch_state_dict(weights["vgg19"])
+        return load_vgg19_into_bl(variables, sd), "vgg19 → features"
+    if model_name in ("gen", "gen0") and "vgg19" in weights:
+        sd = load_torch_state_dict(weights["vgg19"])
+        return (load_vgg19_into_generator(variables, sd,
+                                          skip=model_name == "gen0"),
+                "vgg19 → enc" + ("1-3" if model_name == "gen0" else ""))
+    if model_name == "sw_vgg" and "vgg19" in weights:
+        sd = load_torch_state_dict(weights["vgg19"])
+        return load_vgg19_into_sw_vgg(variables, sd), \
+            "vgg19 → conv sites (SW idx remap)"
+    if model_name == "csrnet" and "vgg16" in weights:
+        sd = load_torch_state_dict(weights["vgg16"])
+        return load_vgg16_into_csrnet(variables, sd), "vgg16 → frontend"
+    if model_name == "dssinet" and "vgg16" in weights:
+        sd = load_torch_state_dict(weights["vgg16"])
+        return load_vgg16_into_dssinet(variables, sd), "vgg16 → stage1-4"
     if model_name in ("sw", "ibn", "isw") and "resnet50" in weights:
         # graft into the counter's backbone; whitening-site norms keep
         # their init (non-strict, like the reference)

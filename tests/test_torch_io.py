@@ -321,3 +321,131 @@ def test_altgvt_conversion_spot_check(tmp_path):
         got, np.transpose(sd["patch_embeds.1.proj.weight"], (2, 3, 1, 0)))
     d = model.apply(v2, x)
     assert d.shape == (1, 8, 8, 1)
+
+@pytest.mark.parametrize("stop", [26, 52])
+def test_vgg19_plain_conversion_matches_torch(stop):
+    """Plain (no-BN) vgg19 features — the Generator/BL-VGG backbone
+    (models2.py:31-33, baselines/BL.py:52-55)."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    rng = np.random.default_rng(8)
+    sd = synth_vgg_sd(VGG19_CFG, False, rng)
+    params, stats = vgg_features_to_flax(sd, VGG19_CFG, False, 0, stop)
+    model = VGGFeatures(cfg=tuple(VGG19_CFG), batch_norm=False, start=0, stop=stop)
+    x = rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    out = model.apply({"params": params}, x)
+    golden = torch_forward(sd, VGG19_CFG, False, np.transpose(x, (0, 3, 1, 2)), stop)
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(golden, (0, 2, 3, 1)), rtol=5e-2, atol=3e-3)
+
+
+def test_vgg19_into_bl_and_generators(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+    from dgvcc_tpu.nn.torch_io import load_pretrained_backbone
+
+    rng = np.random.default_rng(9)
+    sd = synth_vgg_sd(VGG19_CFG, False, rng)
+    pth = tmp_path / "vgg19.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    for name, path0 in (("bl", ("features",)), ("gen", ("enc",)),
+                        ("gen0", ("enc1",))):
+        model = MODELS.build(name)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, x)
+        v2, desc = load_pretrained_backbone(dict(variables), name,
+                                            {"vgg19": str(pth)})
+        assert "vgg19" in desc, name
+        node = v2["params"]
+        for p in path0:
+            node = node[p]
+        np.testing.assert_array_equal(
+            np.asarray(node["conv0"]["kernel"]),
+            conv_to_flax(sd["features.0.weight"]), err_msg=name)
+        out = model.apply(v2, x)
+        assert np.all(np.isfinite(np.asarray(out))), name
+
+
+def test_vgg19_sw_remap(tmp_path):
+    """SWCounter_VGG index-remap contract (SW/backbones/vgg.py:29-45):
+    the k-th torchvision vgg19 conv lands on the k-th SW-stack conv;
+    SW layers keep their init."""
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+    from dgvcc_tpu.nn.torch_io import load_pretrained_backbone
+
+    rng = np.random.default_rng(10)
+    sd = synth_vgg_sd(VGG19_CFG, False, rng)
+    pth = tmp_path / "vgg19.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    model = MODELS.build("sw_vgg")
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    sw_before = np.asarray(variables["params"]["sw0"]["sw_mean_weight"])
+    v2, desc = load_pretrained_backbone(dict(variables), "sw_vgg",
+                                        {"vgg19": str(pth)})
+    assert "remap" in desc
+    # k-th conv correspondence: tv idx 0→conv0, 2→conv1, 5→conv3
+    # (position 2 in the cfg is a pool; the reference's idx_dict
+    # {0:0, 2:3, 5:7, ...} encodes the same k-th-conv rule for its
+    # conv/sw/relu Sequential)
+    for tv_idx, pos in ((0, 0), (2, 1), (5, 3), (34, 19)):
+        np.testing.assert_array_equal(
+            np.asarray(v2["params"][f"conv{pos}"]["kernel"]),
+            conv_to_flax(sd[f"features.{tv_idx}.weight"]),
+            err_msg=f"tv{tv_idx}->conv{pos}")
+    # SW params untouched
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["sw0"]["sw_mean_weight"]), sw_before)
+
+
+def test_vgg16_into_csrnet_and_dssinet(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.torch_io import load_pretrained_backbone
+
+    rng = np.random.default_rng(11)
+    sd = synth_vgg_sd(VGG16_CFG, False, rng)
+    pth = tmp_path / "vgg16.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    # CSRNet: first 10 convs positionally into frontend conv0-9
+    model = MODELS.build("csrnet")
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    v2, desc = load_pretrained_backbone(dict(variables), "csrnet",
+                                        {"vgg16": str(pth)})
+    assert "frontend" in desc
+    # 3rd conv of vgg16 is features.5 → frontend conv2
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["frontend"]["conv2"]["kernel"]),
+        conv_to_flax(sd["features.5.weight"]))
+    out = model.apply(v2, x)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # DSSINet: 2/2/3/3 convs into stage1-4
+    model = MODELS.build("dssinet")
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    v2, desc = load_pretrained_backbone(dict(variables), "dssinet",
+                                        {"vgg16": str(pth)})
+    assert "stage1-4" in desc
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["stage2"]["conv0"]["kernel"]),
+        conv_to_flax(sd["features.5.weight"]))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["stage4"]["conv2"]["kernel"]),
+        conv_to_flax(sd["features.21.weight"]))
