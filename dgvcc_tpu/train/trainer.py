@@ -254,7 +254,15 @@ class DGTrainer:
         if path is None:
             return
         if isinstance(path, (list, tuple)):
-            gen_path, reg_path = path
+            # defensive like the reference's indexed access
+            # (dgtrainer.py:35-41): [gen] alone is accepted; extras error
+            # with a message instead of a bare unpack failure
+            if not 1 <= len(path) <= 2:
+                raise ValueError(
+                    f"pair checkpoint must be [gen_ckpt, reg_ckpt] or "
+                    f"[gen_ckpt]; got {len(path)} entries: {path!r}")
+            gen_path = path[0]
+            reg_path = path[1] if len(path) > 1 else None
             extra = {}
             if gen_path and self.joint:
                 self.log(f"Loading generator checkpoint from {gen_path}")
@@ -514,17 +522,34 @@ class DGTrainer:
         self.log(f"End testing at {get_current_datetime()}")
         return meter.avg
 
+    def _test_every_epoch(self) -> bool:
+        """The reference has two train_and_test protocols: DGTrainer
+        tests only when val improves (dgtrainer.py:301-327), while
+        BaseTrainer — which drove the classic baselines and the dgnet
+        regressors through main_base.py — tests after EVERY epoch
+        (basetrainer.py:149-173). Config key ``test_every_epoch``
+        overrides; default follows the reference's model→trainer split.
+        """
+        knob = self.cfg.extra.get("test_every_epoch")
+        if knob is not None:
+            return bool(knob)
+        base_models = {"csrnet", "mcnn", "sasnet", "dssinet", "cctrans",
+                       "bl", "dgnet", "dgnet_cls"}
+        return self.cfg.model["name"] in base_models
+
     def train_and_test(self, checkpoint=None, num_epochs: Optional[int] = None):
-        """Test on the target domain only when val improves
-        (dgtrainer.py:301-327)."""
+        """Test on the target domain when val improves (dgtrainer.py:
+        301-327), or every epoch for the BaseTrainer-family models
+        (see _test_every_epoch)."""
         self.build()
+        every_epoch = self._test_every_epoch()
         self.log(f"Start training and testing at {get_current_datetime()}")
         self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
         start_epoch, best_criterion, best_epoch = self._resume_point()
         for epoch in range(start_epoch, num_epochs or self.cfg.num_epochs):
             prev = best_criterion
             best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
-            if best_criterion < prev:
+            if every_epoch or best_criterion < prev:
                 self.test()
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")

@@ -182,3 +182,74 @@ def test_mesh_config_data_parallel_training(tmp_path, synth_root):
     assert np.isfinite(best)
     log = open(os.path.join(t.log_dir, "log.txt")).read()
     assert "Data parallel over 4 devices" in log
+
+def test_base_model_tests_every_epoch(tmp_path, synth_root):
+    """BaseTrainer protocol parity (basetrainer.py:149-173): dgnet-family
+    configs test after EVERY epoch in train_and_test, not only on val
+    improvement."""
+    import yaml as _yaml
+    from dgvcc_tpu.cli.main import run
+
+    cfg_path, cfg = make_config(tmp_path, synth_root, mode="simple",
+                                model="dgnet")
+    d = _yaml.safe_load(open(cfg_path))
+    d["model"] = {"name": "dgnet", "params": {"pretrained": False}}
+    d["version"] = "base_epoch_test"
+    ds = dict(d["train_dataset"]); ds["name"] = "den"
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    run(cfg_path, "train_test")
+
+    logtxt = open(os.path.join(cfg["log_dir"], "base_epoch_test",
+                               "log.txt")).read()
+    assert logtxt.count("Testing results:") == 2  # num_epochs = 2
+
+    # the DG family keeps the improvement-gated protocol: knob override
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    c2 = load_config(cfg_path)
+    c2.extra["test_every_epoch"] = False
+    assert DGTrainer(c2)._test_every_epoch() is False
+    c2.extra.pop("test_every_epoch")
+    assert DGTrainer(c2)._test_every_epoch() is True  # dgnet default
+    c2.model = {"name": "final", "params": {}}
+    assert DGTrainer(c2)._test_every_epoch() is False
+
+
+def test_launcher_dry_run_and_env(tmp_path, capsys):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        import launch
+    finally:
+        sys.path.pop(0)
+
+    rc = launch.main(["--dry-run", "--task", "train", "--devices", "0,1",
+                      "a.yml", "b.yml", "c.yml"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[0]" in out and "[1]" in out
+    assert out.count("dgvcc_tpu.cli.main") == 3
+
+    env = launch.build_env("2")
+    assert env["TPU_VISIBLE_CHIPS"] == "2"
+    assert launch.build_env(None).get("TPU_VISIBLE_CHIPS") is None \
+        or "TPU_VISIBLE_CHIPS" in os.environ
+
+
+def test_load_ckpt_pair_validation(tmp_path, synth_root):
+    """A malformed pair-checkpoint list errors with a message, and a
+    1-element [gen] list is accepted (dgtrainer.py:35-41 indexing)."""
+    import pytest as _pytest
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "pairval"
+    t = DGTrainer(cfg)
+    t.build()
+    with _pytest.raises(ValueError, match="pair checkpoint"):
+        t.load_ckpt(["a", "b", "c"])
+    t.load_ckpt([None])  # 1-element: gen only (no-op for non-joint)
