@@ -21,3 +21,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: the suite is dominated by CPU compiles
+# of full VGG/ResNet training graphs (a cold run is ~25 min on this
+# 1-core host). Caching compiled executables across runs cuts warm runs
+# to the execution-only time. The cache lives in the repo (gitignored)
+# so it survives across sessions.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

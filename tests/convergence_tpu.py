@@ -45,11 +45,73 @@ def make_learnable_dataset(root, n_train=32, n_val=8, hw=(128, 128), seed=0):
                     gaussian_density_fixed_np((h, w), pts))
 
 
+# per-mode experiment specs mirroring the shipped configs
+# (configs/sta_final.yml, ablation/sta_cls.yml, baselines/sta_{isw,sw,ibn,bl}.yml)
+MSE = {"name": "mse", "params": {}}
+MODE_SPECS = {
+    "final": dict(mode="final", ds="den_cls", loss=MSE, lr=5e-4,
+                  model={"name": "final", "params": {
+                      "pretrained": False, "mem_size": 256, "mem_dim": 128}}),
+    "cls": dict(mode="cls", ds="den_cls", loss=MSE, lr=5e-4,
+                model={"name": "cls", "params": {"pretrained": False}}),
+    "isw": dict(mode="isw", ds="den_cls", loss=MSE, lr=1e-4,
+                model={"name": "isw", "params": {
+                    "pretrained": False, "relax_denom": 2.0, "clusters": 3}}),
+    "sw": dict(mode="simple", ds="den", loss=MSE, lr=1e-4,
+               model={"name": "sw", "params": {"pretrained": False}}),
+    "ibn": dict(mode="simple", ds="den", loss=MSE, lr=1e-4,
+                model={"name": "ibn", "params": {"pretrained": False}}),
+    # log_para 1: the Bayesian loss trains raw count densities while
+    # predict divides by log_para (basetrainer.py:37 vs :60-64)
+    "bay": dict(mode="simple", ds="bay", lr=5e-4, log_para=1,
+                loss={"name": "bl", "params": {
+                    "sigma": 8.0, "c_size": 128, "stride": 8,
+                    "background_ratio": 0.15, "use_background": True}},
+                model={"name": "bl", "params": {"pretrained": False}}),
+}
+
+
+def run_mode(mode: str, root: str, epochs: int, lr=None):
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    spec = MODE_SPECS[mode]
+    ds = {"name": spec["ds"], "params": {
+        "root": root, "crop_size": 128, "downsample": 1,
+        "is_grey": False, "unit_size": 16}}
+    cfg = Config.from_dict({
+        "seed": 7, "version": f"convergence_{mode}",
+        "log_para": spec.get("log_para", 1000),
+        "patch_size": 1440, "mode": spec["mode"], "num_epochs": epochs,
+        "checkpoint": None,
+        "model": spec["model"],
+        "train_dataset": ds, "val_dataset": ds, "test_dataset": ds,
+        "train_loader": {"batch_size": 8, "num_workers": 4, "shuffle": True},
+        "val_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "test_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "loss": spec["loss"],
+        "optimizer": {"name": "adamw", "params": {
+            "lr": lr or spec["lr"], "weight_decay": 1e-4}},
+        "scheduler": {"name": "cosine", "params": {"T_max": epochs}},
+        "compute_dtype": "bfloat16",
+        "log_dir": os.path.join(root, "logs"),
+    })
+    t = DGTrainer(cfg)
+    t.build()
+    best, best_epoch = t.train()
+    print(f"RESULT mode={mode} best_val_mae={best:.3f} at epoch {best_epoch}",
+          flush=True)
+    return best, best_epoch
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=8)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--root", default=None)
+    parser.add_argument("--mode", default="final",
+                        choices=sorted(MODE_SPECS) + ["all"])
+    parser.add_argument("--lr", type=float, default=None)
     args = parser.parse_args()
 
     if args.cpu:
@@ -57,37 +119,14 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    from dgvcc_tpu.core.config import Config
-    from dgvcc_tpu.train.trainer import DGTrainer
-
     root = args.root or tempfile.mkdtemp(prefix="conv_ds_")
     if not os.path.exists(os.path.join(root, "train")):
         print(f"building dataset at {root}", flush=True)
         make_learnable_dataset(root)
 
-    ds = {"name": "den_cls", "params": {
-        "root": root, "crop_size": 128, "downsample": 1,
-        "is_grey": False, "unit_size": 16}}
-    cfg = Config.from_dict({
-        "seed": 7, "version": "convergence", "log_para": 1000,
-        "patch_size": 1440, "mode": "final", "num_epochs": args.epochs,
-        "checkpoint": None,
-        "model": {"name": "final", "params": {
-            "pretrained": False, "mem_size": 256, "mem_dim": 128}},
-        "train_dataset": ds, "val_dataset": ds, "test_dataset": ds,
-        "train_loader": {"batch_size": 8, "num_workers": 4, "shuffle": True},
-        "val_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
-        "test_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
-        "loss": {"name": "mse", "params": {}},
-        "optimizer": {"name": "adamw", "params": {"lr": 5e-4, "weight_decay": 1e-4}},
-        "scheduler": {"name": "cosine", "params": {"T_max": args.epochs}},
-        "compute_dtype": "bfloat16",
-        "log_dir": os.path.join(root, "logs"),
-    })
-    t = DGTrainer(cfg)
-    t.build()
-    best, best_epoch = t.train()
-    print(f"RESULT best_val_mae={best:.3f} at epoch {best_epoch}", flush=True)
+    modes = sorted(MODE_SPECS) if args.mode == "all" else [args.mode]
+    for mode in modes:
+        run_mode(mode, root, args.epochs, lr=args.lr)
 
 
 if __name__ == "__main__":
