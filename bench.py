@@ -81,12 +81,59 @@ def main():
         rtts.append(time.perf_counter() - t0)
     compute = max(float(np.median(times)) - float(np.median(rtts)), 1e-6)
     fps = B * K / compute
+
+    train_img_s, train_ms = bench_train(jax, jnp, rtt=float(np.median(rtts)))
     print(json.dumps({
         "metric": "DGModel_final density inference frames/sec/chip (768x1024, bf16)",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / (A100_EST_FPS * TARGET_MULTIPLIER), 3),
+        "train_img_per_s": round(train_img_s, 1),
+        "train_ms_per_step": round(train_ms, 1),
     }))
+
+
+def bench_train(jax, jnp, rtt: float = 0.0):
+    """Training throughput: mode 'final' full fused step (two-view
+    forward + losses + backward + adamw update), 320^2 crops, B=16,
+    bf16 — the production training shape (configs/sta_final.yml).
+    Returns (img/s, ms/step)."""
+    from dgvcc_tpu.core.registry import MODELS, LOSSES
+    import dgvcc_tpu.losses  # noqa: F401
+    from dgvcc_tpu.train.state import create_train_state
+    from dgvcc_tpu.train.optim import build_optimizer
+    from dgvcc_tpu.train.steps import build_train_step, jit_train_step
+
+    H = W = 320
+    B = 16
+    model = MODELS.build("final", dtype=jnp.bfloat16)
+    tx = build_optimizer({"name": "adamw", "params": {"lr": 1e-4}})
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, W, 3)), tx)
+    loss = LOSSES.build("mse")
+    step = jit_train_step(build_train_step(model, loss, "final", 1000.0),
+                          donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img1": jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "img2": jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32)),
+        "dmap": jnp.asarray(rng.uniform(0, 0.01, (B, H, W, 1)).astype(np.float32)),
+        "bmap": jnp.asarray((rng.uniform(size=(B, H // 16, W // 16, 1)) > 0.5
+                             ).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, batch, key, jnp.int32(0))  # compile
+    float(m["loss_total"])  # true sync through the relay
+
+    times = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.fold_in(key, i), jnp.int32(0))
+        float(m["loss_total"])  # paced readback (relay queue discipline)
+        times.append(time.perf_counter() - t0)
+    step_s = max(float(np.median(times)) - rtt, 1e-6)
+    return B / step_s, step_s * 1e3
 
 
 if __name__ == "__main__":
