@@ -115,6 +115,13 @@ class DGModel(nn.Module):
     pretrained: bool = True  # honored by the weight loader, not the graph
     fused_mem: bool = False  # Pallas memory attention on inference (TPU)
     remat: bool = False  # rematerialize encoder stages (memory ↓, FLOPs ↑)
+    # perf knob: run the two training views as ONE 2B batch through the
+    # encoder/decoder/heads instead of two sequential B-sized passes.
+    # Touches BatchNorm semantics only: train-mode statistics (and the
+    # running-stat update) are computed over the union of the views
+    # rather than per view (the reference runs per-view,
+    # models.py:298-335). Everything else is bit-equivalent.
+    batched_two_view: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -242,10 +249,17 @@ class DGModel(nn.Module):
         With cls (final): returns (dc1, dc2, c1, c2, c_err, loss_con, loss_err).
         """
         train = True
-        y_cat1, x3_1 = self.forward_fe(img1, train=train)
-        y_cat2, x3_2 = self.forward_fe(img2, train=train)
-        y_den1 = self._den_features(y_cat1, train)
-        y_den2 = self._den_features(y_cat2, train)
+        if self.batched_two_view:
+            both = jnp.concatenate([img1, img2], axis=0)
+            y_cat_b, x3_b = self.forward_fe(both, train=train)
+            y_den_b = self._den_features(y_cat_b, train)
+            y_den1, y_den2 = jnp.split(y_den_b, 2, axis=0)
+            x3_1, x3_2 = jnp.split(x3_b, 2, axis=0)
+        else:
+            y_cat1, x3_1 = self.forward_fe(img1, train=train)
+            y_cat2, x3_2 = self.forward_fe(img2, train=train)
+            y_den1 = self._den_features(y_cat1, train)
+            y_den2 = self._den_features(y_cat2, train)
 
         y_in1 = instance_norm(y_den1.astype(jnp.float32))
         y_in2 = instance_norm(y_den2.astype(jnp.float32))
@@ -261,18 +275,30 @@ class DGModel(nn.Module):
         y_m1 = dropout2d(y_den1 * e_mask, self.den_dropout, rng1)
         y_m2 = dropout2d(y_den2 * e_mask, self.den_dropout, rng2)
 
-        y_new1, logits1 = self.memory(y_m1)
-        y_new2, logits2 = self.memory(y_m2)
-        loss_con = jsd_as_mse(logits1, logits2)
-
-        d1 = self.den_head(y_new1, train=train)
-        d2 = self.den_head(y_new2, train=train)
+        if self.batched_two_view:
+            # one batched attention + head (the memory bank and the 1x1
+            # den head have no batch statistics — bit-equivalent)
+            y_new_b, logits_b = self.memory(
+                jnp.concatenate([y_m1, y_m2], axis=0))
+            logits1, logits2 = jnp.split(logits_b, 2, axis=0)
+            loss_con = jsd_as_mse(logits1, logits2)
+            d1, d2 = jnp.split(self.den_head(y_new_b, train=train), 2, axis=0)
+        else:
+            y_new1, logits1 = self.memory(y_m1)
+            y_new2, logits2 = self.memory(y_m2)
+            loss_con = jsd_as_mse(logits1, logits2)
+            d1 = self.den_head(y_new1, train=train)
+            d2 = self.den_head(y_new2, train=train)
 
         if not self.use_cls:
             return upsample(d1, 4), upsample(d2, 4), loss_con
 
-        c1 = self.cls_head(x3_1, train=train)
-        c2 = self.cls_head(x3_2, train=train)
+        if self.batched_two_view:
+            # cls_head has BN — union statistics under the knob
+            c1, c2 = jnp.split(self.cls_head(x3_b, train=train), 2, axis=0)
+        else:
+            c1 = self.cls_head(x3_1, train=train)
+            c2 = self.cls_head(x3_2, train=train)
         c_resized_gt = self.transform_cls_map_gt(c_gt)
         c_r1 = self.transform_cls_map_pred(c1)
         c_r2 = self.transform_cls_map_pred(c2)
@@ -291,7 +317,7 @@ def _variant(name, **flags):
         # accept the reference YAML param names verbatim (configs/*.yml)
         for k in ("mem_size", "mem_dim", "den_dropout", "cls_dropout",
                   "cls_thrs", "err_thrs", "has_err_loss", "pretrained",
-                  "fused_mem", "remat", "dtype"):
+                  "fused_mem", "remat", "batched_two_view", "dtype"):
             if k in params:
                 kw[k] = params[k]
         return DGModel(**kw)

@@ -133,14 +133,15 @@ def vgg_convs_in_order(sd: Dict[str, np.ndarray], cfg, batch_norm: bool = False,
     return out
 
 
-def load_vgg19_into_bl(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
-    """torchvision vgg19 features → BLVGG 'features' module (the
-    reference loads the full feature stack strict=False,
+def load_vgg19_into_bl(variables: Dict, sd: Dict[str, np.ndarray],
+                       batch_norm: bool = False) -> Dict:
+    """torchvision vgg19 (or vgg19_bn) features → BLVGG 'features'
+    module (the reference loads the full feature stack strict=False,
     baselines/BL.py:52-55; module names are torchvision indices so this
     is a rename)."""
     from dgvcc_tpu.nn.vgg import VGG19_CFG
 
-    p, s = vgg_features_to_flax(sd, VGG19_CFG, False)
+    p, s = vgg_features_to_flax(sd, VGG19_CFG, batch_norm)
     return graft(variables, ("features",), p, s)
 
 
@@ -338,6 +339,10 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
     if model_name in unet_family and "vgg16_bn" in weights:
         sd = load_torch_state_dict(weights["vgg16_bn"])
         return load_vgg16bn_into_unet(variables, sd), "vgg16_bn → fe/stage1-3"
+    if model_name == "bl" and "vgg19_bn" in weights:
+        sd = load_torch_state_dict(weights["vgg19_bn"])
+        return (load_vgg19_into_bl(variables, sd, batch_norm=True),
+                "vgg19_bn → features")
     if model_name == "bl" and "vgg19" in weights:
         sd = load_torch_state_dict(weights["vgg19"])
         return load_vgg19_into_bl(variables, sd), "vgg19 → features"

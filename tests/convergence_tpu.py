@@ -62,12 +62,20 @@ MODE_SPECS = {
     "ibn": dict(mode="simple", ds="den", loss=MSE, lr=1e-4,
                 model={"name": "ibn", "params": {"pretrained": False}}),
     # log_para 1: the Bayesian loss trains raw count densities while
-    # predict divides by log_para (basetrainer.py:37 vs :60-64)
+    # predict divides by log_para (basetrainer.py:37 vs :60-64).
+    # batch_norm=True: the reference's plain-vgg19 BL only trains from
+    # ImageNet init (BL.py loads pretrained unconditionally) — from
+    # scratch, adam's sign-like first steps blow up the unnormalized
+    # 16-conv stack and the loss's L1 pressure then collapses it to the
+    # predict-zero minimum (verified empirically; ReLU-headed models die
+    # outright, BL's |abs| head survives but stalls). The BN variant
+    # trains from scratch with the full background row.
     "bay": dict(mode="simple", ds="bay", lr=5e-4, log_para=1,
                 loss={"name": "bl", "params": {
                     "sigma": 8.0, "c_size": 128, "stride": 8,
                     "background_ratio": 0.15, "use_background": True}},
-                model={"name": "bl", "params": {"pretrained": False}}),
+                model={"name": "bl", "params": {"pretrained": False,
+                                                "batch_norm": True}}),
 }
 
 

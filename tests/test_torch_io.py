@@ -449,3 +449,33 @@ def test_vgg16_into_csrnet_and_dssinet(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(v2["params"]["stage4"]["conv2"]["kernel"]),
         conv_to_flax(sd["features.21.weight"]))
+
+def test_vgg19_bn_into_bl_variant(tmp_path):
+    """BLVGG batch_norm=True accepts torchvision vgg19_bn weights."""
+    import jax
+    import jax.numpy as jnp
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+    from dgvcc_tpu.nn.torch_io import load_pretrained_backbone
+
+    rng = np.random.default_rng(12)
+    sd = synth_vgg_sd(VGG19_CFG, True, rng)
+    pth = tmp_path / "vgg19_bn.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    model = MODELS.build("bl", batch_norm=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    v2, desc = load_pretrained_backbone(dict(variables), "bl",
+                                        {"vgg19_bn": str(pth)})
+    assert "vgg19_bn" in desc
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["features"]["conv0"]["kernel"]),
+        conv_to_flax(sd["features.0.weight"]))
+    np.testing.assert_array_equal(
+        np.asarray(v2["batch_stats"]["features"]["bn1"]["mean"]),
+        sd["features.1.running_mean"])
+    out = model.apply(v2, x)
+    assert np.all(np.isfinite(np.asarray(out)))
