@@ -63,21 +63,55 @@ class CountingHead(nn.Module):
 
 @MODELS.register("sw")
 class SWCounterResNet(nn.Module):
-    """SWCounter_ResNet (SW/__init__.py:24-42): resnet50-SW through
-    layer3 + head."""
+    """SWCounter_ResNet (SW/__init__.py:24-42): resnet-SW through
+    layer3 + head. ``depth`` selects the torchvision geometry — the
+    reference counter hard-codes resnet50 but its backbone zoo defines
+    18/34/50/101/152 (SW/backbones/resnet.py:217-294)."""
 
     pretrained: bool = True
+    depth: int = 50
     axis_name: Optional[str] = None
-    layers: Sequence[int] = (3, 4, 6, 3)
+    layers: Optional[Sequence[int]] = None  # test override (tiny nets)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from dgvcc_tpu.nn.resnet import RESNET_BLOCK, RESNET_LAYERS
+
         sw_kwargs = dict(SW_KW, axis_name=self.axis_name)
         feats, _ = ResNetTrunk(
-            layers=self.layers, num_stages=3, stem_norm="sw",
+            layers=self.layers or RESNET_LAYERS[self.depth],
+            block=RESNET_BLOCK[self.depth], num_stages=3, stem_norm="sw",
             stage_sw=(True, True, True, False), sw_kwargs=sw_kwargs,
             axis_name=self.axis_name, dtype=self.dtype, name="backbone",
+        )(x, train=train)
+        return CountingHead(dtype=self.dtype, name="head")(feats)
+
+
+@MODELS.register("sw_densenet")
+class SWCounterDenseNet(nn.Module):
+    """DenseNet-SW counter: the reference ships the SW DenseNet backbone
+    (models/SW/backbones/densenet.py:78-201, norm0 + every-3rd norm1 →
+    SwitchWhiten in stages 1-3) but never attaches a head; here it feeds
+    the standard counting head at the denseblock3 cut (stride 16)."""
+
+    pretrained: bool = True
+    depth: int = 121
+    axis_name: Optional[str] = None
+    block_config: Optional[Sequence[int]] = None  # test override
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from dgvcc_tpu.nn.densenet import DENSENET_CONFIGS, DenseNetTrunk
+
+        cfg = dict(DENSENET_CONFIGS[self.depth])
+        if self.block_config is not None:
+            cfg["block_config"] = self.block_config
+        feats = DenseNetTrunk(
+            num_stages=3, norm1_mode="sw", stage_with=(True, True, True, False),
+            sw_kwargs=dict(SW_KW, axis_name=self.axis_name),
+            axis_name=self.axis_name, dtype=self.dtype, name="backbone", **cfg,
         )(x, train=train)
         return CountingHead(dtype=self.dtype, name="head")(feats)
 
@@ -121,19 +155,68 @@ class SWCounterVGG(nn.Module):
 class IBNCounterResNet(nn.Module):
     """IBNCounter_ResNet (ibnnet/__init__.py:11-28): resnet50_ibn_b
     through layer3 + head. ibn_cfg ('b','b',None,None): IN(affine) stem
-    + post-residual IN in the last blocks of stages 1-2."""
+    + post-residual IN in the last blocks of stages 1-2.
+
+    The reference's IBN-Net zoo also defines the 'a' config (IBN as bn1
+    of every block in stages 1-3, resnet_ibn.py:26-68), ResNeXt-IBN-a
+    (resnext_ibn.py:145-172, baseWidth=4 cardinality=32) and
+    SE-ResNet-IBN-a (se_resnet_ibn.py:129-164) — selectable here via
+    ``ibn_cfg``/``groups``/``base_width``/``se`` though only
+    resnet50_ibn_b is consumed by the shipped counter."""
 
     pretrained: bool = True
+    depth: int = 50
+    ibn_cfg: str = "b"  # 'a' | 'b'
+    groups: int = 1
+    base_width: int = 64
+    se: bool = False
     axis_name: Optional[str] = None
-    layers: Sequence[int] = (3, 4, 6, 3)
+    layers: Optional[Sequence[int]] = None  # test override (tiny nets)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from dgvcc_tpu.nn.resnet import RESNET_BLOCK, RESNET_LAYERS
+
+        if self.ibn_cfg == "b":
+            spec = dict(stem_norm="in_affine",
+                        stage_post=("in", "in", None, None))
+        else:  # 'a': IBN bn1 in stages 1-3 (resnet_ibn.py:26-68)
+            spec = dict(stem_norm="bn",
+                        stage_ibn_a=(True, True, True, False))
         feats, _ = ResNetTrunk(
-            layers=self.layers, num_stages=3, stem_norm="in_affine",
-            stage_post=("in", "in", None, None), axis_name=self.axis_name,
-            dtype=self.dtype, name="backbone",
+            layers=self.layers or RESNET_LAYERS[self.depth],
+            block=RESNET_BLOCK[self.depth], num_stages=3,
+            groups=self.groups, base_width=self.base_width, se=self.se,
+            axis_name=self.axis_name, dtype=self.dtype, name="backbone",
+            **spec,
+        )(x, train=train)
+        return CountingHead(dtype=self.dtype, name="head")(feats)
+
+
+@MODELS.register("ibn_densenet")
+class IBNCounterDenseNet(nn.Module):
+    """DenseNet-IBN-a counter: the reference ships densenet{121,169,
+    201,161}_ibn_a backbones (models/ibnnet/densenet_ibn.py:43-97,
+    BN-first IBN(0.4) at every 3rd norm1 of stages 1-3) without a
+    counter; here one feeds the standard head at the denseblock3 cut."""
+
+    pretrained: bool = True
+    depth: int = 121
+    axis_name: Optional[str] = None
+    block_config: Optional[Sequence[int]] = None  # test override
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from dgvcc_tpu.nn.densenet import DENSENET_CONFIGS, DenseNetTrunk
+
+        cfg = dict(DENSENET_CONFIGS[self.depth])
+        if self.block_config is not None:
+            cfg["block_config"] = self.block_config
+        feats = DenseNetTrunk(
+            num_stages=3, norm1_mode="ibn", stage_with=(True, True, True, False),
+            axis_name=self.axis_name, dtype=self.dtype, name="backbone", **cfg,
         )(x, train=train)
         return CountingHead(dtype=self.dtype, name="head")(feats)
 

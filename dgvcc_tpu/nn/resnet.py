@@ -39,6 +39,11 @@ StageSpec = dict
 
 
 class Bottleneck(nn.Module):
+    """3-conv residual block. ``groups``/``base_width`` give the ResNeXt
+    type-C geometry (D*C wide grouped 3x3, models/ibnnet/resnext_ibn.py:24-48);
+    ``se`` appends squeeze-excitation after bn3
+    (models/ibnnet/se_resnet_ibn.py:22-63)."""
+
     planes: int
     stride: int = 1
     has_downsample: bool = False
@@ -46,6 +51,9 @@ class Bottleneck(nn.Module):
     ibn_a: bool = False
     post: Optional[str] = None  # None | 'in' | 'iw'
     sw_kwargs: dict = None
+    groups: int = 1
+    base_width: int = 64
+    se: bool = False
     axis_name: Optional[str] = None  # sync BN/IBN stats over this mesh axis
     dtype: Any = jnp.float32
     expansion: int = 4
@@ -57,21 +65,25 @@ class Bottleneck(nn.Module):
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 axis_name=self.axis_name)
 
+        # ResNeXt width: D = floor(planes * baseWidth/64), C = cardinality
+        # (resnext_ibn.py:35-36); plain bottleneck when groups == 1.
+        width = int(self.planes * (self.base_width / 64)) * self.groups
+
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         if self.ibn_a:
-            out = IBN(self.planes, axis_name=self.axis_name, dtype=self.dtype,
+            out = IBN(width, axis_name=self.axis_name, dtype=self.dtype,
                       name="bn1")(out, train=train)
         else:
             out = bn("bn1")(out)
         out = nn.relu(out)
 
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
                       padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                      name="conv2")(out)
+                      feature_group_count=self.groups, name="conv2")(out)
         if self.sw_norm2:
-            out = SwitchWhiten(self.planes, dtype=self.dtype, name="bn2",
+            out = SwitchWhiten(width, dtype=self.dtype, name="bn2",
                                **(self.sw_kwargs or {}))(out, train=train)
         else:
             out = bn("bn2")(out)
@@ -80,6 +92,11 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
         out = bn("bn3")(out)
+        if self.se:
+            from dgvcc_tpu.nn.whitening import SELayer
+
+            out = SELayer(self.planes * self.expansion, dtype=self.dtype,
+                          name="se")(out)
 
         if self.has_downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1),
@@ -177,6 +194,9 @@ class ResNetTrunk(nn.Module):
     stage_ibn_a: Sequence[bool] = (False, False, False, False)
     stage_post: Sequence[Optional[str]] = (None, None, None, None)
     sw_kwargs: dict = None
+    groups: int = 1       # ResNeXt cardinality (resnext_ibn.py:145-172)
+    base_width: int = 64  # ResNeXt baseWidth (4 for resnext*_ibn_a)
+    se: bool = False      # squeeze-excitation blocks (se_resnet_ibn.py)
     axis_name: Optional[str] = None  # SyncBN analog: pmean batch stats
     dtype: Any = jnp.float32
 
@@ -213,6 +233,10 @@ class ResNetTrunk(nn.Module):
             for i in range(n_blocks):
                 is_first = i == 0
                 is_last = i == n_blocks - 1
+                extra = {}
+                if block_cls is Bottleneck:
+                    extra = dict(groups=self.groups, base_width=self.base_width,
+                                 se=self.se)
                 out, w = block_cls(
                     planes=planes,
                     stride=stride if is_first else 1,
@@ -225,6 +249,7 @@ class ResNetTrunk(nn.Module):
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"layer{k + 1}_{i}",
+                    **extra,
                 )(out, train=train)
                 if w is not None:
                     w_arr.append(w)

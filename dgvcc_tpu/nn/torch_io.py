@@ -219,8 +219,8 @@ def load_vgg16_into_dssinet(variables: Dict, sd: Dict[str, np.ndarray]) -> Dict:
     return variables
 
 
-def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
-                     ) -> Tuple[Dict, Dict]:
+def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3,
+                     layers=(3, 4, 6, 3)) -> Tuple[Dict, Dict]:
     """torchvision resnet50 state dict → (params, batch_stats) matching
     nn/resnet.py::ResNetTrunk module names (conv1/bn1/layer{k}_{i}/...).
 
@@ -245,7 +245,6 @@ def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
         params["bn1"] = p
         stats["bn1"] = s
 
-    layers = (3, 4, 6, 3)
     for k in range(num_stages):
         for i in range(layers[k]):
             name = f"layer{k + 1}_{i}"
@@ -265,6 +264,55 @@ def resnet50_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
                 blk_s["downsample_bn"] = s
             params[name] = blk_p
             stats[name] = blk_s
+    return params, stats
+
+
+def densenet_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
+                     ) -> Tuple[Dict, Dict]:
+    """torchvision densenet state dict → (params, batch_stats) matching
+    nn/densenet.py::DenseNetTrunk names (conv0/norm0/denseblock{b}_
+    denselayer{l}_{norm1,conv1,norm2,conv2}/transition{b}_{norm,conv}).
+
+    SW/IBN-replaced norm1 sites have no matching shapes and keep their
+    init — non-strict like the reference's strict=False densenet loads
+    (SW/backbones/densenet.py:31, model_zoo strict=False).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(tp, name):
+        params[name] = {"scale": sd[f"{tp}.weight"], "bias": sd[f"{tp}.bias"]}
+        stats[name] = {"mean": sd[f"{tp}.running_mean"],
+                       "var": sd[f"{tp}.running_var"]}
+
+    params["conv0"] = {"kernel": conv_to_flax(sd["features.conv0.weight"])}
+    if "features.norm0.weight" in sd:
+        bn("features.norm0", "norm0")
+    for b in range(num_stages):
+        i = 0
+        # block sizes inferred from the keys — one converter covers
+        # densenet 121/169/201/161 and truncated test dicts alike
+        while f"features.denseblock{b + 1}.denselayer{i + 1}.conv1.weight" in sd:
+            tp = f"features.denseblock{b + 1}.denselayer{i + 1}"
+            name = f"denseblock{b + 1}_denselayer{i + 1}"
+            if f"{tp}.norm1.weight" in sd:
+                bn(f"{tp}.norm1", f"{name}_norm1")
+            params[f"{name}_conv1"] = {
+                "kernel": conv_to_flax(sd[f"{tp}.conv1.weight"])}
+            bn(f"{tp}.norm2", f"{name}_norm2")
+            params[f"{name}_conv2"] = {
+                "kernel": conv_to_flax(sd[f"{tp}.conv2.weight"])}
+            i += 1
+        if f"features.transition{b + 1}.norm.weight" in sd:
+            # the truncated trunk reuses transition{num_stages}'s BN as
+            # its final norm, so convert it even when its conv is cut
+            bn(f"features.transition{b + 1}.norm", f"transition{b + 1}_norm")
+            if b < num_stages - 1:
+                params[f"transition{b + 1}_conv"] = {
+                    "kernel": conv_to_flax(
+                        sd[f"features.transition{b + 1}.conv.weight"])}
+    if num_stages >= 4 and "features.norm5.weight" in sd:
+        bn("features.norm5", "norm5")
     return params, stats
 
 
@@ -324,6 +372,37 @@ def altgvt_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     return params, {}
 
 
+def _merge_into_backbone(variables: Dict, p: Dict, s: Dict) -> Dict:
+    """Non-strict shape-checked merge of converted (params, stats) into
+    the model's 'backbone' subtree (top-level or one level down, e.g.
+    isw's params['net']['backbone'])."""
+    import copy
+
+    out = {"params": copy.deepcopy(dict(variables["params"])),
+           "batch_stats": copy.deepcopy(dict(variables.get("batch_stats", {})))}
+
+    def find_backbone(tree):
+        if "backbone" in tree:
+            return tree["backbone"]
+        for v in tree.values():
+            if isinstance(v, dict) and "backbone" in v:
+                return v["backbone"]
+        return {}
+
+    def merge(dst, src):
+        for k2, v2 in src.items():
+            if k2 not in dst:
+                continue
+            if isinstance(v2, dict):
+                merge(dst[k2], v2)
+            elif np.shape(dst[k2]) == np.shape(v2):
+                dst[k2] = v2
+
+    merge(find_backbone(out["params"]), p)
+    merge(find_backbone(out["batch_stats"]), s)
+    return out
+
+
 def load_pretrained_backbone(variables: Dict, model_name: str,
                              weights: Dict[str, str]) -> Tuple[Dict, str]:
     """Best-effort pretrained-backbone install by registered model name.
@@ -368,36 +447,13 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
         p, s = resnet50_to_flax(sd, num_stages=3)
         # only install leaves that exist in the model (skip bn1 for
         # in/iw/sw stems etc.)
-        import copy
-
-        out = {"params": copy.deepcopy(dict(variables["params"])),
-               "batch_stats": copy.deepcopy(dict(variables.get("batch_stats", {})))}
-
-        def find_backbone(tree):
-            # sw/ibn: params['backbone']; isw: params['net']['backbone']
-            if "backbone" in tree:
-                return tree["backbone"]
-            for v in tree.values():
-                if isinstance(v, dict) and "backbone" in v:
-                    return v["backbone"]
-            return {}
-
-        bb_p = find_backbone(out["params"])
-        bb_s = find_backbone(out["batch_stats"])
-
-        def merge(dst, src):
-            for k2, v2 in src.items():
-                if k2 not in dst:
-                    continue
-                if isinstance(v2, dict):
-                    merge(dst[k2], v2)
-                else:
-                    if np.shape(dst[k2]) == np.shape(v2):
-                        dst[k2] = v2
-
-        merge(bb_p, p)
-        merge(bb_s, s)
+        out = _merge_into_backbone(variables, p, s)
         return out, "resnet50 → backbone (non-strict)"
+    if model_name in ("sw_densenet", "ibn_densenet") and "densenet121" in weights:
+        sd = load_torch_state_dict(weights["densenet121"])
+        p, s = densenet_to_flax(sd, num_stages=3)
+        out = _merge_into_backbone(variables, p, s)
+        return out, "densenet121 → backbone (non-strict)"
     if model_name == "cctrans" and "alt_gvt" in weights:
         sd = load_torch_state_dict(weights["alt_gvt"])
         p, _ = altgvt_to_flax(sd)

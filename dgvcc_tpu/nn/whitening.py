@@ -215,22 +215,34 @@ def instance_whitening_loss(f_map, mask_matrix, margin, num_remove_cov):
 
 class IBN(nn.Module):
     """Instance-Batch Norm: IN(affine) on the first half of channels,
-    BN on the rest (models/ibnnet/modules.py:5-25)."""
+    BN on the rest (models/ibnnet/modules.py:5-25).
+
+    ``bn_first`` flips the split to the DenseNet-IBN local variant
+    (models/ibnnet/densenet_ibn.py:28-40): BN on the first
+    ``int(planes*(1-ratio))`` channels, IN on the remainder."""
 
     planes: int
     ratio: float = 0.5
+    bn_first: bool = False
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        def bn(z):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name="BN",
+                                axis_name=self.axis_name)(z)
+
+        if self.bn_first:
+            half = int(self.planes * (1 - self.ratio))
+            x1, x2 = x[..., :half], x[..., half:]
+            return jnp.concatenate(
+                [bn(x1), InstanceNorm(affine=True, name="IN")(x2)], axis=-1)
         half = int(self.planes * self.ratio)
         x1, x2 = x[..., :half], x[..., half:]
         y1 = InstanceNorm(affine=True, name="IN")(x1)
-        y2 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=self.dtype, name="BN",
-                          axis_name=self.axis_name)(x2)
-        return jnp.concatenate([y1, y2], axis=-1)
+        return jnp.concatenate([y1, bn(x2)], axis=-1)
 
 
 class SELayer(nn.Module):
