@@ -18,7 +18,65 @@ import os
 import shutil
 
 
-def run(config_path: str, task: str):
+def _serve(cfg, frames_dir: str, batch: int):
+    """Stream per-frame crowd counts over a directory of images.
+
+    Beyond-reference serving surface (the reference's closest analog is
+    --task test/vis): decode on host, batch same-shape frames, pipeline
+    through serve.VideoCounter so H2D of batch t+1 overlaps compute of
+    t, print `name count` lines + a throughput summary.
+    """
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    from dgvcc_tpu.serve import VideoCounter
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    names = sorted(n for n in os.listdir(frames_dir)
+                   if n.lower().endswith(exts))
+    if not names:
+        raise SystemExit(f"no images under {frames_dir}")
+
+    counter = VideoCounter.from_checkpoint(
+        cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
+        **cfg.model.get("params", {}))
+
+    def batches():
+        """Consecutive same-shape frames batched together (mixed sizes
+        flush the current batch — each shape bucket compiles once)."""
+        buf, buf_names = [], []
+        for n in names:
+            img = np.asarray(Image.open(os.path.join(frames_dir, n))
+                             .convert("RGB"), np.uint8)
+            if buf and (img.shape != buf[-1].shape or len(buf) >= batch):
+                yield buf_names, np.stack(buf)
+                buf, buf_names = [], []
+            buf.append(img)
+            buf_names.append(n)
+        if buf:
+            yield buf_names, np.stack(buf)
+
+    t0 = time.perf_counter()
+    total = 0
+    name_stream = []
+
+    def frame_stream():
+        for bn, frames in batches():
+            name_stream.append(bn)
+            yield frames
+
+    for counts in counter.stream(frame_stream()):
+        bn = name_stream.pop(0)
+        for n, c in zip(bn, counts):
+            print(f"{n} {float(c):.2f}")
+        total += len(bn)
+    dt = time.perf_counter() - t0
+    print(f"[serve] {total} frames in {dt:.2f}s = {total / dt:.2f} fps")
+
+
+def run(config_path: str, task: str, frames: str = None, batch: int = 4):
     from dgvcc_tpu.core.config import load_config
     from dgvcc_tpu.train.trainer import DGTrainer
 
@@ -52,6 +110,10 @@ def run(config_path: str, task: str):
         trainer.train_and_test()
     elif task == "generate":
         trainer.generate(checkpoint=cfg.checkpoint)
+    elif task == "serve":
+        if frames is None:
+            raise SystemExit("--task serve requires --frames DIR")
+        _serve(cfg, frames, batch)
     else:
         raise ValueError(f"Unknown task: {task}")
 
@@ -61,9 +123,13 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--task", type=str, default="train",
                         choices=["train", "test", "vis", "train_test",
-                                 "generate"])
+                                 "generate", "serve"])
+    parser.add_argument("--frames", type=str, default=None,
+                        help="image directory for --task serve")
+    parser.add_argument("--batch", type=int, default=4,
+                        help="serving batch size for --task serve")
     args = parser.parse_args()
-    run(args.config, args.task)
+    run(args.config, args.task, frames=args.frames, batch=args.batch)
 
 
 if __name__ == "__main__":

@@ -112,3 +112,37 @@ def test_raw_crop_dataset(tmp_path):
     ds2 = RawCropDataset(base, pre_crop=160)
     s2 = ds2.__getitem__(0, rng=random.Random(0))
     assert s2["frames_u8"].shape == (160, 160, 3)
+
+
+def test_cli_serve_task(tmp_path, capsys):
+    """--task serve: per-frame counts + fps summary over an image dir,
+    with mixed frame shapes flushing into separate compile buckets."""
+    import yaml
+    from PIL import Image
+
+    from dgvcc_tpu.cli.main import run
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(3)
+    for i, (h, w) in enumerate([(64, 64), (64, 64), (64, 96)]):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(frames / f"f{i}.jpg")
+
+    cfg = {
+        "seed": 0, "version": "serve_t", "device": "cpu", "log_para": 1000,
+        "patch_size": 1440, "mode": "simple", "num_epochs": 1,
+        "checkpoint": None,
+        "model": {"name": "base", "params": {"pretrained": False}},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+        "compute_dtype": "float32",
+        "log_dir": str(tmp_path / "logs"),
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    run(str(p), "serve", frames=str(frames), batch=2)
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("f")]
+    assert len(lines) == 3 and all(len(ln.split()) == 2 for ln in lines)
+    assert "[serve] 3 frames" in out
