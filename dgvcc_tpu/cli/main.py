@@ -76,11 +76,16 @@ def _serve(cfg, frames_dir: str, batch: int):
     print(f"[serve] {total} frames in {dt:.2f}s = {total / dt:.2f} fps")
 
 
-def run(config_path: str, task: str, frames: str = None, batch: int = 4):
+def run(config_path: str, task: str, frames: str = None, batch: int = 4,
+        ckpt: str = None):
     from dgvcc_tpu.core.config import load_config
     from dgvcc_tpu.train.trainer import DGTrainer
 
     cfg = load_config(config_path)
+    if ckpt is not None:
+        # command-line override of the config's `checkpoint:` key
+        # (resume/eval without editing the YAML; used by scripts/launch.py)
+        cfg.checkpoint = ckpt
     # honor the config's device key (reference uses cuda:N; here 'cpu'
     # forces the CPU backend — useful for debugging — anything else uses
     # the default platform, i.e. the TPU)
@@ -118,7 +123,7 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4):
         raise ValueError(f"Unknown task: {task}")
 
 
-def main():
+def build_parser():
     parser = argparse.ArgumentParser(description="dgvcc_tpu experiment runner")
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--task", type=str, default="train",
@@ -128,8 +133,15 @@ def main():
                         help="image directory for --task serve")
     parser.add_argument("--batch", type=int, default=4,
                         help="serving batch size for --task serve")
-    args = parser.parse_args()
-    run(args.config, args.task, frames=args.frames, batch=args.batch)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="override the config's checkpoint: key")
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
+    run(args.config, args.task, frames=args.frames, batch=args.batch,
+        ckpt=args.ckpt)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ Layout rules:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -276,7 +276,22 @@ def densenet_to_flax(sd: Dict[str, np.ndarray], num_stages: int = 3
     SW/IBN-replaced norm1 sites have no matching shapes and keep their
     init — non-strict like the reference's strict=False densenet loads
     (SW/backbones/densenet.py:31, model_zoo strict=False).
+
+    The published torchvision checkpoints (densenet121-a639ec97.pth
+    et al.) use the LEGACY key format `denselayer1.norm.1.weight` /
+    `conv.2.weight`; torchvision itself re-keys them at load time
+    (torchvision densenet._load_state_dict's regex). Normalize the
+    same way here so downloaded files convert as-is.
     """
+    import re
+
+    # torchvision's legacy re-key: '...denselayer1.norm.1.weight' →
+    # '...denselayer1.norm1.weight' (concatenate the two groups)
+    legacy = re.compile(
+        r"^(.*denselayer\d+\.(?:norm|relu|conv))\.((?:[12])\."
+        r"(?:weight|bias|running_mean|running_var))$")
+    sd = {(m.group(1) + m.group(2) if (m := legacy.match(k)) else k): v
+          for k, v in sd.items()}
     params: Dict = {}
     stats: Dict = {}
 
@@ -404,11 +419,15 @@ def _merge_into_backbone(variables: Dict, p: Dict, s: Dict) -> Dict:
 
 
 def load_pretrained_backbone(variables: Dict, model_name: str,
-                             weights: Dict[str, str]) -> Tuple[Dict, str]:
+                             weights: Dict[str, str],
+                             model_params: Optional[Dict] = None
+                             ) -> Tuple[Dict, str]:
     """Best-effort pretrained-backbone install by registered model name.
 
     weights: {'vgg16_bn': path, ...} torchvision .pth files. Returns
     (variables, description). Models without a mapping return unchanged.
+    model_params: the config's model params — consulted where the
+    architecture flag changes the expected weights (bl's batch_norm).
     """
     dg_family = {"base", "mem", "memadd", "cls", "memcls", "final"}
     unet_family = {"dgnet", "dgnet_cls", "reg", "reg_mem"}
@@ -418,13 +437,21 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
     if model_name in unet_family and "vgg16_bn" in weights:
         sd = load_torch_state_dict(weights["vgg16_bn"])
         return load_vgg16bn_into_unet(variables, sd), "vgg16_bn → fe/stage1-3"
-    if model_name == "bl" and "vgg19_bn" in weights:
-        sd = load_torch_state_dict(weights["vgg19_bn"])
-        return (load_vgg19_into_bl(variables, sd, batch_norm=True),
-                "vgg19_bn → features")
-    if model_name == "bl" and "vgg19" in weights:
-        sd = load_torch_state_dict(weights["vgg19"])
-        return load_vgg19_into_bl(variables, sd), "vgg19 → features"
+    if model_name == "bl":
+        # the converter layout MUST follow the model's batch_norm flag —
+        # a plain-vgg19 dict grafted onto the BN layout (or vice versa)
+        # lands only conv0 and leaves the rest at init, silently
+        bn_model = bool((model_params or {}).get("batch_norm", False))
+        key = "vgg19_bn" if bn_model else "vgg19"
+        if key in weights:
+            sd = load_torch_state_dict(weights[key])
+            return (load_vgg19_into_bl(variables, sd, batch_norm=bn_model),
+                    f"{key} → features")
+        wrong = "vgg19" if bn_model else "vgg19_bn"
+        if wrong in weights:
+            return variables, (f"no pretrained mapping: bl(batch_norm="
+                               f"{bn_model}) needs '{key}' weights but only "
+                               f"'{wrong}' was provided")
     if model_name in ("gen", "gen0") and "vgg19" in weights:
         sd = load_torch_state_dict(weights["vgg19"])
         return (load_vgg19_into_generator(variables, sd,

@@ -209,7 +209,8 @@ class DGTrainer:
             variables = {"params": unfreeze(self.state.params),
                          "batch_stats": unfreeze(self.state.batch_stats)}
             variables, desc = load_pretrained_backbone(
-                variables, cfg.model["name"], weights)
+                variables, cfg.model["name"], weights,
+                model_params=cfg.model.get("params", {}))
             self.state = self.state.replace(
                 params=variables["params"],
                 batch_stats=variables["batch_stats"])

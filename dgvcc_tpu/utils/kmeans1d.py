@@ -37,6 +37,15 @@ def _load_library():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
+        def _bind(path):
+            lib = ctypes.CDLL(path)
+            lib.kmeans1d_cluster.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            return lib
+
         try:
             if not os.path.exists(_SO) or (
                 os.path.exists(_SRC)
@@ -46,15 +55,18 @@ def _load_library():
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
                      "-o", _SO],
                     check=True, capture_output=True)
-            lib = ctypes.CDLL(_SO)
-            lib.kmeans1d_cluster.argtypes = [
-                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_double),
-            ]
-            _lib = lib
+            _lib = _bind(_SO)
         except Exception:
-            _lib_failed = True
+            # recompile failed (e.g. no g++, or checkout mtimes made the
+            # prebuilt .so look stale) — still try the existing binary
+            # before falling back to the numpy DP
+            try:
+                if os.path.exists(_SO):
+                    _lib = _bind(_SO)
+                else:
+                    _lib_failed = True
+            except Exception:
+                _lib_failed = True
         return _lib
 
 

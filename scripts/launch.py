@@ -4,10 +4,10 @@
 --task train_test --config X, sequentially per GPU).
 
 TPU analog: each experiment is one process owning one chip (or a chip
-subset via a visible-devices mask). Experiments fan out over the device
-list round-robin, at most one process per device at a time; with no
---devices they run sequentially on the default device, exactly like the
-reference script.
+subset via a visible-devices mask). Queued configs run in order, each
+dispatched to the first device that frees up (at most one process per
+device at a time); with no --devices they run sequentially on the
+default device, exactly like the reference script.
 
 Usage:
   python scripts/launch.py --task train_test configs/sta_final.yml configs/sta_base.yml
@@ -60,10 +60,12 @@ def main(argv=None) -> int:
         return cmd
 
     if args.dry_run:
+        # device placement is first-free at run time, not a static
+        # assignment — the plan shows queue order and the device pool
+        pool = ",".join(d if d is not None else "default" for d in devices)
+        print(f"[launch] device pool: [{pool}] (first-free scheduling)")
         for i, cfg in enumerate(queue):
-            dev = devices[i % len(devices)]
-            print(f"[{dev if dev is not None else 'default'}] "
-                  + " ".join(cmd_for(cfg)))
+            print(f"[queue {i}] " + " ".join(cmd_for(cfg)))
         return 0
 
     while queue or running:

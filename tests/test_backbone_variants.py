@@ -327,3 +327,30 @@ def test_deep_resnet_geometries():
     assert RESNET_LAYERS[101] == (3, 4, 23, 3)
     assert RESNET_LAYERS[152] == (3, 8, 36, 3)
     assert RESNET_BLOCK[101] == RESNET_BLOCK[152] == "bottleneck"
+
+
+def test_densenet_legacy_key_format_converts():
+    """The published torchvision checkpoints use the LEGACY key format
+    ('denselayer1.norm.1.weight'); densenet_to_flax must re-key like
+    torchvision's densenet._load_state_dict regex does."""
+    import re
+
+    from dgvcc_tpu.nn.torch_io import densenet_to_flax
+
+    rng = np.random.default_rng(15)
+    sd = synth_densenet_sd(rng)
+    legacy_sd = {}
+    pat = re.compile(r"(denselayer\d+\.)(norm|conv)([12])(\.)")
+    for k, v in sd.items():
+        legacy_sd[pat.sub(r"\1\2.\3\4", k)] = v
+    assert any(".norm.1." in k for k in legacy_sd)  # really legacy now
+
+    p_new, s_new = densenet_to_flax(sd, num_stages=3)
+    p_leg, s_leg = densenet_to_flax(legacy_sd, num_stages=3)
+    assert set(map(str, p_new)) == set(map(str, p_leg))
+    np.testing.assert_array_equal(
+        p_leg["denseblock1_denselayer1_conv1"]["kernel"],
+        p_new["denseblock1_denselayer1_conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        s_leg["denseblock2_denselayer2_norm2"]["mean"],
+        s_new["denseblock2_denselayer2_norm2"]["mean"])

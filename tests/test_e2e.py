@@ -226,16 +226,26 @@ def test_launcher_dry_run_and_env(tmp_path, capsys):
         sys.path.pop(0)
 
     rc = launch.main(["--dry-run", "--task", "train", "--devices", "0,1",
+                      "--ckpt", "logs/x/last.ckpt",
                       "a.yml", "b.yml", "c.yml"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "[0]" in out and "[1]" in out
+    assert "device pool: [0,1]" in out
     assert out.count("dgvcc_tpu.cli.main") == 3
+    # --ckpt is forwarded with the flag the CLI actually accepts
+    assert out.count("--ckpt logs/x/last.ckpt") == 3
 
     env = launch.build_env("2")
     assert env["TPU_VISIBLE_CHIPS"] == "2"
     assert launch.build_env(None).get("TPU_VISIBLE_CHIPS") is None \
         or "TPU_VISIBLE_CHIPS" in os.environ
+
+    # every flag the launcher emits parses in the CLI it targets
+    from dgvcc_tpu.cli.main import build_parser
+    ns = build_parser().parse_args(
+        ["--task", "train", "--config", "a.yml",
+         "--ckpt", "logs/x/last.ckpt"])
+    assert ns.ckpt == "logs/x/last.ckpt"
 
 
 def test_load_ckpt_pair_validation(tmp_path, synth_root):

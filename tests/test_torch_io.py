@@ -469,8 +469,9 @@ def test_vgg19_bn_into_bl_variant(tmp_path):
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)}, x)
     v2, desc = load_pretrained_backbone(dict(variables), "bl",
-                                        {"vgg19_bn": str(pth)})
-    assert "vgg19_bn" in desc
+                                        {"vgg19_bn": str(pth)},
+                                        model_params={"batch_norm": True})
+    assert desc == "vgg19_bn → features"
     np.testing.assert_array_equal(
         np.asarray(v2["params"]["features"]["conv0"]["kernel"]),
         conv_to_flax(sd["features.0.weight"]))
@@ -479,3 +480,15 @@ def test_vgg19_bn_into_bl_variant(tmp_path):
         sd["features.1.running_mean"])
     out = model.apply(v2, x)
     assert np.all(np.isfinite(np.asarray(out)))
+
+    # layout mismatch is REFUSED, not silently mis-grafted: a BN model
+    # offered only plain-vgg19 weights (and vice versa) keeps its init
+    # and says why — grafting across layouts lands only conv0 because
+    # the BN feature indices shift every later conv name
+    before = np.asarray(variables["params"]["features"]["conv3"]["kernel"])
+    v3, desc3 = load_pretrained_backbone(dict(variables), "bl",
+                                         {"vgg19": str(pth)},
+                                         model_params={"batch_norm": True})
+    assert "no pretrained mapping" in desc3 and "vgg19_bn" in desc3
+    np.testing.assert_array_equal(
+        np.asarray(v3["params"]["features"]["conv3"]["kernel"]), before)

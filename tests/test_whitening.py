@@ -345,3 +345,34 @@ def test_isw_train_step_irw_margins():
     state, m = step(state, batch, jax.random.PRNGKey(1), jnp.int32(7))
     assert np.isfinite(float(m["loss_total"]))
     assert float(m["loss_wt"]) >= 0.0
+
+
+def test_kmeans1d_prebuilt_so_used_when_compiler_missing(monkeypatch):
+    """If the recompile path fails (no g++ / stale-looking mtime), the
+    shipped prebuilt libkmeans1d.so must still be tried before the
+    numpy fallback."""
+    import os
+    import subprocess
+
+    import dgvcc_tpu.utils.kmeans1d as km
+
+    if not os.path.exists(km._SO):
+        import pytest
+        pytest.skip("no prebuilt .so on disk")
+
+    monkeypatch.setattr(km, "_lib", None)
+    monkeypatch.setattr(km, "_lib_failed", False)
+
+    def boom(*a, **k):
+        raise FileNotFoundError("g++ not found")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    # force the 'stale' branch by pretending the source is newer
+    real_getmtime = os.path.getmtime
+    monkeypatch.setattr(
+        os.path, "getmtime",
+        lambda p: real_getmtime(p) + (1e9 if p == km._SRC else 0))
+    lib = km._load_library()
+    assert lib is not None, "prebuilt .so should load when recompile fails"
+    labels, cents = km.cluster(np.array([1.0, 1.1, 5.0, 5.1, 9.0]), 3)
+    assert list(labels) == [0, 0, 1, 1, 2]
