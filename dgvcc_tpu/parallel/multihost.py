@@ -1,0 +1,123 @@
+"""Multi-host (pod-scale) data-parallel glue.
+
+On a TPU pod each process owns only its local chips; the global mesh
+spans every process and a jitted shard_map step runs SPMD across all
+of them. The only extra machinery a pod run needs over the single-host
+path (parallel/mesh.py) is:
+
+  * a **global mesh** over ``jax.devices()`` (all processes) —
+    :func:`global_mesh`;
+  * **per-host disjoint data**: each process loads its own slice of the
+    global batch and assembles a global sharded array without any
+    cross-host transfer — :func:`host_shard_batch` wraps
+    ``jax.make_array_from_process_local_data``;
+  * a **deterministic cross-host sampler** so the per-host slices
+    partition the dataset exactly (the torch DistributedSampler role —
+    the reference is single-process and has none) —
+    :class:`DistributedSampler`.
+
+Single-process (tests, the virtual CPU mesh) is the degenerate case:
+process_count == 1 makes host_shard_batch equivalent to
+mesh.shard_batch, which is asserted in tests/test_multihost.py.
+
+Bootstrap on a real pod: call ``jax.distributed.initialize()`` (env-
+driven on Cloud TPU) before touching devices, then build the trainer
+normally — `mesh: {data: N}` with N = total chip count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dgvcc_tpu.parallel.mesh import DATA_AXIS, _REPLICATED_PREFIX
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Best-effort ``jax.distributed.initialize`` (no-op if already up
+    or running single-process without coordinator env)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process run
+
+
+def global_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data mesh over ALL processes' devices (jax.devices() is
+    global after jax.distributed.initialize)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def host_shard_batch(mesh: Mesh, host_batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble global arrays from per-process local batches.
+
+    ``host_batch`` holds THIS process's rows only (global_batch /
+    process_count of them). Keys with the ``isw_`` replicated prefix are
+    placed replicated like parallel/mesh.py does. No cross-host data
+    movement happens — each host's shards stay on its chips.
+    """
+    data_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    repl_sharding = NamedSharding(mesh, P())
+    out = {}
+    for k, v in host_batch.items():
+        v = np.asarray(v)
+        if k.startswith(_REPLICATED_PREFIX):
+            out[k] = jax.make_array_from_process_local_data(repl_sharding, v)
+        else:
+            out[k] = jax.make_array_from_process_local_data(data_sharding, v)
+    return out
+
+
+class DistributedSampler:
+    """Deterministic per-host index slices that partition the dataset.
+
+    Epoch ``e`` shuffles indices with fold_in(seed, e) (matching the
+    per-epoch reseed discipline of data/loader.py), pads to a multiple
+    of world_size x batch_size by wrapping (every host sees the same
+    length — a requirement for SPMD lockstep), and hands host ``rank``
+    the strided slice ``rank::world_size``.
+    """
+
+    def __init__(self, n: int, batch_size: int, seed: int = 0,
+                 shuffle: bool = True,
+                 rank: Optional[int] = None,
+                 world_size: Optional[int] = None):
+        self.n = int(n)
+        self.batch_size = int(batch_size)  # PER-HOST batch size
+        self.seed = int(seed)
+        self.shuffle = shuffle
+        self.rank = jax.process_index() if rank is None else rank
+        self.world_size = jax.process_count() if world_size is None else world_size
+        if not (0 <= self.rank < self.world_size):
+            raise ValueError(f"rank {self.rank} outside world {self.world_size}")
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        """This host's sample indices for ``epoch``, grouped per batch."""
+        idx = np.arange(self.n, dtype=np.int64)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch]))
+            rng.shuffle(idx)
+        stride = self.world_size * self.batch_size
+        total = max(1, -(-self.n // stride)) * stride  # ceil, >= 1 batch
+        if total > self.n:  # wrap-pad (tiling) so every host runs equal steps
+            idx = np.resize(idx, total)
+        return idx[self.rank::self.world_size]
+
+    def __len__(self) -> int:  # batches per epoch (identical on all hosts)
+        stride = self.world_size * self.batch_size
+        return max(1, -(-self.n // stride))
+
+
+def all_hosts_partition(samplers: Sequence[DistributedSampler],
+                        epoch: int) -> np.ndarray:
+    """Test/verification helper: the union of every host's indices for
+    one epoch, in global batch order (host-interleaved)."""
+    per_host = [s.epoch_indices(epoch) for s in samplers]
+    return np.stack(per_host, axis=1).reshape(-1)

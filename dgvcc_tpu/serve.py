@@ -30,12 +30,29 @@ class VideoCounter:
     """Batched, shape-bucketed crowd counting over raw uint8 frames."""
 
     def __init__(self, model, variables, log_para: float = 1000.0,
-                 bucket: int = 64, dtype=jnp.bfloat16):
+                 bucket: int = 64, dtype=jnp.bfloat16, quantize: bool = False,
+                 calib_frames: Optional[np.ndarray] = None):
         self.model = model
         self.variables = variables
         self.log_para = log_para
         self.bucket = bucket
         self.dtype = dtype
+        self.quantized = None
+        if quantize:
+            # int8 PTQ serving graph (nn/quant.py): ~1.6x the bf16 fps on
+            # v5e. Calibration frames default to a mid-grey probe — pass
+            # real frames for production scales.
+            from dgvcc_tpu.nn.quant import QuantizedDG
+
+            if calib_frames is None:
+                calib = jnp.full((1, 256, 256, 3), 0.1, jnp.float32)
+            else:
+                c = np.asarray(calib_frames)
+                if c.dtype == np.uint8:  # same normalize as infer()
+                    c = (c.astype(np.float32) / 255.0 - 0.5) / 0.5
+                calib = jnp.asarray(c, jnp.float32)
+            self.quantized = QuantizedDG.from_model(model, variables, calib,
+                                                    dtype=dtype)
 
         @jax.jit
         def infer(variables, frames_u8, valid_hw):
@@ -43,8 +60,12 @@ class VideoCounter:
             # the forward; padded border zeroed out of the count
             x = frames_u8.astype(jnp.float32) / 255.0
             x = ((x - 0.5) / 0.5).astype(dtype)
-            out = self.model.apply(variables, x)
-            d = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
+            if self.quantized is not None:
+                d, _ = self.quantized._forward(self.quantized.qparams, x)
+                d = d.astype(jnp.float32)
+            else:
+                out = self.model.apply(variables, x)
+                d = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
             h_idx = jnp.arange(d.shape[1])[None, :, None, None]
             w_idx = jnp.arange(d.shape[2])[None, None, :, None]
             scale_h = d.shape[1] / frames_u8.shape[1]
@@ -58,6 +79,8 @@ class VideoCounter:
     @classmethod
     def from_checkpoint(cls, model_name: str, ckpt_path: Optional[str] = None,
                         log_para: float = 1000.0, dtype=jnp.bfloat16,
+                        quantize: bool = False,
+                        calib_frames: Optional[np.ndarray] = None,
                         **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
@@ -90,7 +113,8 @@ class VideoCounter:
         # push weights to the device ONCE — numpy inputs would be
         # re-transferred on every inference call
         variables = jax.device_put(variables)
-        return cls(model, variables, log_para=log_para, dtype=dtype)
+        return cls(model, variables, log_para=log_para, dtype=dtype,
+                   quantize=quantize, calib_frames=calib_frames)
 
     def _pad(self, frames: np.ndarray):
         b, h, w, c = frames.shape

@@ -1,0 +1,153 @@
+"""Int8 PTQ serving path (nn/quant.py): BN-fold exactness + accuracy.
+
+The folded fp graph must match the flax eval forward bit-for-float;
+the int8 graph must track it within quantization tolerance on counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgvcc_tpu.core.registry import MODELS
+import dgvcc_tpu.models  # noqa: F401
+from dgvcc_tpu.nn.quant import (
+    QuantizedDG,
+    fold_bn,
+    fold_variables,
+    fp_folded_forward,
+    quantize_weight,
+)
+
+
+def _randomized_variables(model, rng, x):
+    """Init then randomize params + batch stats so BN folding is
+    non-trivial (init stats are mean=0/var=1 which would fold to a
+    near-identity)."""
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    variables = jax.tree.map(np.asarray, variables)
+
+    def walk(tree, fn, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, fn, path + (k,)) for k, v in tree.items()}
+        return fn(path, tree)
+
+    def perturb_stats(path, leaf):
+        if path[-1] == "var":
+            return rng.uniform(0.5, 2.0, leaf.shape).astype(np.float32)
+        if path[-1] == "mean":
+            return rng.uniform(-0.5, 0.5, leaf.shape).astype(np.float32)
+        return leaf
+
+    def perturb_params(path, leaf):
+        if path[-1] == "scale":
+            return rng.uniform(0.5, 1.5, leaf.shape).astype(np.float32)
+        if path[-1] == "bias":
+            return rng.uniform(-0.3, 0.3, leaf.shape).astype(np.float32)
+        return leaf
+
+    variables["batch_stats"] = walk(variables["batch_stats"], perturb_stats)
+    variables["params"] = walk(variables["params"], perturb_params)
+    return jax.tree.map(jnp.asarray, variables)
+
+
+@pytest.fixture(scope="module")
+def small_final():
+    model = MODELS.build("final", mem_size=8, mem_dim=16)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    variables = _randomized_variables(model, rng, x)
+    return model, variables, x
+
+
+def test_fold_bn_formula():
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(3, 3, 4, 6)).astype(np.float32)
+    b = rng.normal(size=(6,)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, 6).astype(np.float32)
+    beta = rng.normal(size=(6,)).astype(np.float32)
+    mean = rng.normal(size=(6,)).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 6).astype(np.float32)
+
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME", dimension_numbers=dn) + b
+    ref = scale * (np.asarray(y) - mean) / np.sqrt(var + 1e-5) + beta
+
+    kf, bf = fold_bn(k, b, scale, beta, mean, var)
+    out = jax.lax.conv_general_dilated(x, kf, (1, 1), "SAME", dimension_numbers=dn) + bf
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(1)
+    k = rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * \
+        rng.uniform(0.1, 10.0, 16).astype(np.float32)  # per-channel ranges
+    w8, ws = quantize_weight(k)
+    assert w8.dtype == np.int8
+    err = np.abs(w8.astype(np.float32) * ws - k)
+    # per-channel: error bounded by half an lsb of that channel's scale
+    assert np.all(err <= 0.5 * ws + 1e-7)
+
+
+def test_folded_fp_matches_flax_eval(small_final):
+    model, variables, x = small_final
+    ref_d, ref_c = model.apply(variables, x)
+    out_d, out_c = fp_folded_forward(model, variables, x)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_d),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_folded_fp_matches_flax_eval_base():
+    """BN-free heads / no-mem no-cls variant folds correctly too."""
+    model = MODELS.build("base")
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = _randomized_variables(model, rng, x)
+    ref = model.apply(variables, x)
+    out, c = fp_folded_forward(model, variables, x)
+    assert c is None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_int8_counts_track_fp(small_final):
+    model, variables, x = small_final
+    q = QuantizedDG.from_model(model, variables, x, dtype=jnp.float32,
+                               fused_mem=False)
+    d8, c8 = q(x)
+    dfp, cfp = fp_folded_forward(model, variables, x)
+
+    cnt8 = np.asarray(d8, np.float32).sum(axis=(1, 2, 3))
+    cntf = np.asarray(dfp, np.float32).sum(axis=(1, 2, 3))
+    # counting averages out the zero-mean rounding noise: counts must
+    # track within a few percent even on this random-weight model
+    rel = np.abs(cnt8 - cntf) / np.maximum(np.abs(cntf), 1e-6)
+    assert np.all(rel < 0.05), (cnt8, cntf)
+
+    # dense agreement (looser: per-pixel noise does not cancel)
+    l2 = np.linalg.norm(np.asarray(d8, np.float32) - np.asarray(dfp, np.float32))
+    ref = np.linalg.norm(np.asarray(dfp, np.float32))
+    assert l2 / max(ref, 1e-6) < 0.2
+
+
+def test_quant_site_inventory(small_final):
+    """Every conv site of the eval graph is folded; the 3x3 compute
+    sites are all quantized (the tiny 1x1 heads stay fp)."""
+    model, variables, x = small_final
+    folded = fold_variables(variables)
+    enc_sites = [k for k in folded if k.startswith("enc")]
+    assert len(enc_sites) == 13  # VGG16 convs
+    for name in ("dec3_0", "dec3_1", "dec2_0", "dec2_1", "dec1_0",
+                 "dec1_1", "den_dec", "cls_conv1", "den_head", "cls_conv2"):
+        assert name in folded, name
+
+    q = QuantizedDG.from_model(model, variables, x, dtype=jnp.float32,
+                               fused_mem=False)
+    quantized = {k for k, site in q.qparams["sites"].items() if "w8" in site}
+    assert set(enc_sites) <= quantized
+    assert {"dec3_0", "dec2_0", "dec1_0", "den_dec", "cls_conv1"} <= quantized
+    assert "den_head" not in quantized and "cls_conv2" not in quantized

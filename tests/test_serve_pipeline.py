@@ -20,6 +20,28 @@ def test_video_counter_counts_uint8_frames():
     np.testing.assert_allclose(counts, counts2, rtol=1e-6)
 
 
+def test_video_counter_quantized_tracks_fp():
+    """quantize=True serves through the int8 PTQ graph (nn/quant.py):
+    counts must track the fp path within quantization tolerance and be
+    deterministic."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    fp = VideoCounter.from_checkpoint("final", None, dtype=jnp.float32,
+                                      mem_size=8, mem_dim=16)
+    q = VideoCounter.from_checkpoint("final", None, dtype=jnp.float32,
+                                     quantize=True, calib_frames=frames,
+                                     mem_size=8, mem_dim=16)
+    assert q.quantized is not None
+    c_fp = fp.count_frames(frames)
+    c_q = q.count_frames(frames)
+    assert np.isfinite(c_q).all()
+    np.testing.assert_allclose(c_q, c_fp,
+                               rtol=0.05, atol=0.05 * max(1.0, abs(c_fp).max()))
+    np.testing.assert_allclose(c_q, q.count_frames(frames), rtol=1e-6)
+
+
 def test_video_counter_stream_order():
     from dgvcc_tpu.serve import VideoCounter
 
