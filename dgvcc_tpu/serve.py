@@ -42,8 +42,14 @@ class VideoCounter:
             # int8 PTQ serving graph (nn/quant.py): ~1.6x the bf16 fps on
             # v5e. Calibration frames default to a mid-grey probe — pass
             # real frames for production scales.
+            from dgvcc_tpu.models.dg import DGModel
             from dgvcc_tpu.nn.quant import QuantizedDG
 
+            if not isinstance(model, DGModel):
+                raise ValueError(
+                    "quantize=True supports the DG family "
+                    "(base/mem/memadd/cls/memcls/final); got "
+                    f"{type(model).__name__}")
             if calib_frames is None:
                 calib = jnp.full((1, 256, 256, 3), 0.1, jnp.float32)
             else:

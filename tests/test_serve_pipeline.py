@@ -168,3 +168,11 @@ def test_cli_serve_task(tmp_path, capsys):
     lines = [ln for ln in out.splitlines() if ln.startswith("f")]
     assert len(lines) == 3 and all(len(ln.split()) == 2 for ln in lines)
     assert "[serve] 3 frames" in out
+
+    # --quantize serves the same frames through the int8 PTQ graph
+    # (calibrated on the first real frames) and still emits every count
+    run(str(p), "serve", frames=str(frames), batch=2, quantize=True)
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("f")]
+    assert len(lines) == 3 and all(np.isfinite(float(ln.split()[1]))
+                                   for ln in lines)
