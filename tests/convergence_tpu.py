@@ -112,6 +112,78 @@ def run_mode(mode: str, root: str, epochs: int, lr=None):
     return best, best_epoch
 
 
+def quant_eval(root: str, epochs: int, lr=None):
+    """Train mode 'final', then eval the val split through BOTH the fp
+    eval forward and the int8 PTQ graph (nn/quant.py) — the accuracy
+    evidence for quantized serving on a TRAINED model."""
+    import jax
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.nn.quant import QuantizedDG
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    spec = MODE_SPECS["final"]
+    ds = {"name": spec["ds"], "params": {
+        "root": root, "crop_size": 128, "downsample": 1,
+        "is_grey": False, "unit_size": 16}}
+    cfg = Config.from_dict({
+        "seed": 7, "version": "convergence_quant",
+        "log_para": 1000, "patch_size": 1440, "mode": "final",
+        "num_epochs": epochs, "checkpoint": None, "model": spec["model"],
+        "train_dataset": ds, "val_dataset": ds, "test_dataset": ds,
+        "train_loader": {"batch_size": 8, "num_workers": 4, "shuffle": True},
+        "val_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "test_loader": {"batch_size": 1, "num_workers": 0, "shuffle": False},
+        "loss": spec["loss"],
+        "optimizer": {"name": "adamw", "params": {
+            "lr": lr or spec["lr"], "weight_decay": 1e-4}},
+        "scheduler": {"name": "cosine", "params": {"T_max": epochs}},
+        "compute_dtype": "bfloat16",
+        "log_dir": os.path.join(root, "logs"),
+    })
+    t = DGTrainer(cfg)
+    t.build()
+    t.train()
+
+    variables = {"params": unfreeze(t.state.params),
+                 "batch_stats": unfreeze(t.state.batch_stats)}
+
+    def load_split(split):
+        d = os.path.join(root, split)
+        for n in sorted(os.listdir(d)):
+            if not n.endswith(".jpg"):
+                continue
+            img = np.asarray(Image.open(os.path.join(d, n)), np.float32)
+            x = (img / 255.0 - 0.5) / 0.5
+            pts = np.load(os.path.join(d, n[:-4] + ".npy"))
+            yield x[None], len(pts)
+
+    calib = jnp.asarray(np.concatenate(
+        [x for x, _ in list(load_split("train"))[:4]]))
+    q = QuantizedDG.from_model(t.model, variables, calib)
+
+    @jax.jit
+    def fp_count(variables, x):
+        d, _ = t.model.apply(variables, x)
+        return jnp.sum(d.astype(jnp.float32)) / cfg.log_para
+
+    errs_fp, errs_q, gaps = [], [], []
+    for x, gt in load_split("val"):
+        xj = jnp.asarray(x, jnp.bfloat16)
+        c_fp = float(fp_count(variables, xj))
+        d8, _ = q(xj)
+        c_q = float(jnp.sum(d8.astype(jnp.float32)) / cfg.log_para)
+        errs_fp.append(abs(c_fp - gt))
+        errs_q.append(abs(c_q - gt))
+        gaps.append(abs(c_fp - c_q) / max(abs(c_fp), 1e-6))
+    print(f"RESULT quant_eval fp_mae={np.mean(errs_fp):.3f} "
+          f"int8_mae={np.mean(errs_q):.3f} "
+          f"mean|fp-int8|/fp={np.mean(gaps):.4f} max={np.max(gaps):.4f}",
+          flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=8)
@@ -120,6 +192,9 @@ def main():
     parser.add_argument("--mode", default="final",
                         choices=sorted(MODE_SPECS) + ["all"])
     parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--quant-eval", action="store_true",
+                        help="after training mode 'final', compare fp vs "
+                             "int8 PTQ eval MAE on the val split")
     args = parser.parse_args()
 
     if args.cpu:
@@ -131,6 +206,10 @@ def main():
     if not os.path.exists(os.path.join(root, "train")):
         print(f"building dataset at {root}", flush=True)
         make_learnable_dataset(root)
+
+    if args.quant_eval:
+        quant_eval(root, args.epochs, lr=args.lr)
+        return
 
     modes = sorted(MODE_SPECS) if args.mode == "all" else [args.mode]
     for mode in modes:
