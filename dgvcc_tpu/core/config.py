@@ -11,6 +11,8 @@ TPU-specific extensions (all optional, defaulted):
     compute_dtype: 'bfloat16' | 'float32'   — activation dtype
     mesh:          {data: N}                 — device mesh axis sizes
     donate:        bool                      — donate train-state buffers
+    test_quantized: bool                     — run the test task through
+                   the int8 PTQ serving graph (DG family; nn/quant.py)
 """
 
 from __future__ import annotations

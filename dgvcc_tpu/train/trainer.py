@@ -488,6 +488,43 @@ class DGTrainer:
         self.log(f"End training at {get_current_datetime()}")
         return best_criterion, best_epoch
 
+    def _quantized_counter(self, loader):
+        """Int8 PTQ eval counter (config extra ``test_quantized: true``).
+
+        Builds the quantized serving graph (nn/quant.py) from the
+        current weights, calibrated on the first test images, and wraps
+        it in a TiledCounter so arbitrary-size evaluation works
+        unchanged. DG family only; ~1.5x eval throughput on v5e at ~1%
+        count drift (BENCH_NOTES.md)."""
+        from flax.core import unfreeze
+
+        from dgvcc_tpu.models.dg import DGModel
+        from dgvcc_tpu.nn.quant import QuantizedDG
+
+        if not isinstance(self.model, DGModel):
+            raise ValueError(
+                "test_quantized supports the DG family (base/mem/memadd/"
+                f"cls/memcls/final); got {type(self.model).__name__}")
+        variables = {"params": unfreeze(self.state.params),
+                     "batch_stats": unfreeze(self.state.batch_stats)}
+        imgs = []
+        for sample in loader:
+            imgs.append(sample["img1"])
+            if len(imgs) >= 4:
+                break
+        if imgs:  # one static square crop size across the calib batch
+            s = min(256, *(min(i.shape[0], i.shape[1]) for i in imgs))
+            calib = np.stack([i[:s, :s] for i in imgs])
+        else:
+            calib = np.zeros((1, 256, 256, 3), np.float32)
+        q = QuantizedDG.from_model(self.model, variables,
+                                   jnp.asarray(calib, jnp.float32))
+
+        def apply_fn(_variables, tiles):
+            return q._forward(q.qparams, tiles)
+
+        return TiledCounter(apply_fn, self.log_para, self.patch_size)
+
     def test(self, checkpoint=None, loader=None):
         self.build()
         self.log(f"Start testing at {get_current_datetime()}")
@@ -496,6 +533,11 @@ class DGTrainer:
         loader = loader or self.loaders["test"]
         meter = DictAvgMeter()
         variables = self._variables()
+        counter = self.counter
+        if self.cfg.extra.get("test_quantized"):
+            # local counter only — validate() keeps the fp path
+            counter = self._quantized_counter(loader)
+            self.log("Testing through the int8 PTQ serving graph")
 
         if self.mode == "generation":
             # the generator has no density output — test = reconstruction
@@ -504,7 +546,7 @@ class DGTrainer:
             self.log(f"End testing at {get_current_datetime()}")
             return {}
         for sample in loader:
-            pred = self.counter.count(variables, sample["img1"])
+            pred = counter.count(variables, sample["img1"])
             gt_count = float(len(sample["gt"]))
             meter.update({"mae": abs(pred - gt_count),
                           "mse": (pred - gt_count) ** 2})

@@ -248,6 +248,31 @@ def test_launcher_dry_run_and_env(tmp_path, capsys):
     assert ns.ckpt == "logs/x/last.ckpt"
 
 
+def test_quantized_test_task(tmp_path, synth_root):
+    """Config extra `test_quantized: true` routes the test task through
+    the int8 PTQ graph; metrics stay finite and the fp validate counter
+    is untouched."""
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "quant_test"
+    cfg.extra["test_quantized"] = True
+    t = DGTrainer(cfg)
+    t.build()
+    t.train(num_epochs=1)
+    fp_counter = t.counter
+    t.test()
+    assert t.counter is fp_counter  # validate path untouched
+    log = open(os.path.join(t.log_dir, "log.txt")).read()
+    assert "int8 PTQ" in log and "Testing results" in log
+    import re
+
+    mae = float(re.search(r"Testing results: mae: ([\d.]+)", log).group(1))
+    assert np.isfinite(mae)
+
+
 def test_load_ckpt_pair_validation(tmp_path, synth_root):
     """A malformed pair-checkpoint list errors with a message, and a
     1-element [gen] list is accepted (dgtrainer.py:35-41 indexing)."""
