@@ -166,7 +166,10 @@ class QuantizedDG:
         mem = (np.asarray(variables["params"]["memory"]["mem"])
                if model.use_mem else None)
         caps = calibrate(model, folded, mem, calib_frames)
-        scales = {k: v / 127.0 for k, v in caps.items()}
+        # floor like quantize_weight's: a ReLU-dead (all-zero) calib site
+        # would otherwise get scale 0 → x/0 NaNs and an input-independent
+        # conv output
+        scales = {k: max(v, 1e-12) / 127.0 for k, v in caps.items()}
         return cls(folded, scales, model, mem, dtype=dtype,
                    fused_mem=fused_mem)
 

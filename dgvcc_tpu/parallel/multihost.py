@@ -37,12 +37,27 @@ from dgvcc_tpu.parallel.mesh import DATA_AXIS, _REPLICATED_PREFIX
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Best-effort ``jax.distributed.initialize`` (no-op if already up
-    or running single-process without coordinator env)."""
+    """``jax.distributed.initialize`` with two benign cases tolerated:
+    already initialized, and a plain single-process run (no coordinator
+    configured anywhere). A real bootstrap failure on a configured pod
+    (bad coordinator address, process-count mismatch) propagates —
+    silently degrading a pod job to single-host would train on 1/Nth of
+    the fleet with no error until the results look wrong."""
+    import os
+
+    configured = kwargs.get("coordinator_address") or any(
+        os.environ.get(k) for k in
+        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+         "CLOUD_TPU_TASK_ID", "TPU_WORKER_HOSTNAMES"))
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process run
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
+    except ValueError:
+        if configured:
+            raise  # pod was configured — surface the real failure
 
 
 def global_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -59,8 +74,11 @@ def host_shard_batch(mesh: Mesh, host_batch: Dict[str, Any]) -> Dict[str, Any]:
 
     ``host_batch`` holds THIS process's rows only (global_batch /
     process_count of them). Keys with the ``isw_`` replicated prefix are
-    placed replicated like parallel/mesh.py does. No cross-host data
-    movement happens — each host's shards stay on its chips.
+    placed replicated like parallel/mesh.py does — the CALLER must pass
+    IDENTICAL values on every process (replicated placement from local
+    data is undefined otherwise; sync per-host ISW tracker stats with
+    :func:`allgather_sum` before deriving the masks). No cross-host
+    data movement happens — each host's shards stay on its chips.
     """
     data_sharding = NamedSharding(mesh, P(DATA_AXIS))
     repl_sharding = NamedSharding(mesh, P())
@@ -72,6 +90,25 @@ def host_shard_batch(mesh: Mesh, host_batch: Dict[str, Any]) -> Dict[str, Any]:
         else:
             out[k] = jax.make_array_from_process_local_data(data_sharding, v)
     return out
+
+
+def allgather_sum(tree):
+    """Sum a pytree of host-local numpy arrays across all processes.
+
+    The pod-correct way to merge per-host ISW covariance-tracker
+    statistics (models/whitening.py::IswCovTracker.add accumulates sums,
+    so summing across hosts equals single-host accumulation over the
+    global batch): every host calls this with its local sums and gets
+    identical global sums back — after which the derived ``isw_`` masks
+    are identical on every process, satisfying host_shard_batch's
+    replication contract. Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(tree)  # leading P axis
+    return jax.tree.map(lambda x: np.asarray(x).sum(axis=0), gathered)
 
 
 class DistributedSampler:

@@ -38,12 +38,13 @@ class VideoCounter:
         self.bucket = bucket
         self.dtype = dtype
         self.quantized = None
+        self._quant_pending = False
         if quantize:
-            # int8 PTQ serving graph (nn/quant.py): ~1.6x the bf16 fps on
-            # v5e. Calibration frames default to a mid-grey probe — pass
-            # real frames for production scales.
+            # int8 PTQ serving graph (nn/quant.py): ~1.5x the bf16 fps
+            # on v5e. Activation scales MUST come from real imagery —
+            # with calib_frames they're calibrated now, otherwise
+            # calibration happens lazily on the first served batch.
             from dgvcc_tpu.models.dg import DGModel
-            from dgvcc_tpu.nn.quant import QuantizedDG
 
             if not isinstance(model, DGModel):
                 raise ValueError(
@@ -51,27 +52,27 @@ class VideoCounter:
                     "(base/mem/memadd/cls/memcls/final); got "
                     f"{type(model).__name__}")
             if calib_frames is None:
-                calib = jnp.full((1, 256, 256, 3), 0.1, jnp.float32)
+                self._quant_pending = True
             else:
-                c = np.asarray(calib_frames)
-                if c.dtype == np.uint8:  # same normalize as infer()
-                    c = (c.astype(np.float32) / 255.0 - 0.5) / 0.5
-                calib = jnp.asarray(c, jnp.float32)
-            self.quantized = QuantizedDG.from_model(model, variables, calib,
-                                                    dtype=dtype)
+                self._build_quantized(np.asarray(calib_frames))
+
+        def density(weights, x):
+            if quantize:
+                # weights IS qparams here — passed as a jit argument so
+                # the folded int8 weights are program inputs, not
+                # constants baked into the trace
+                d, _ = self.quantized._forward(weights, x)
+                return d.astype(jnp.float32)
+            out = self.model.apply(weights, x)
+            return (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
 
         @jax.jit
-        def infer(variables, frames_u8, valid_hw):
+        def infer(weights, frames_u8, valid_hw):
             # uint8 → [-1, 1] normalize (Normalize(0.5, 0.5)) fused with
             # the forward; padded border zeroed out of the count
             x = frames_u8.astype(jnp.float32) / 255.0
             x = ((x - 0.5) / 0.5).astype(dtype)
-            if self.quantized is not None:
-                d, _ = self.quantized._forward(self.quantized.qparams, x)
-                d = d.astype(jnp.float32)
-            else:
-                out = self.model.apply(variables, x)
-                d = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
+            d = density(weights, x)
             h_idx = jnp.arange(d.shape[1])[None, :, None, None]
             w_idx = jnp.arange(d.shape[2])[None, None, :, None]
             scale_h = d.shape[1] / frames_u8.shape[1]
@@ -81,6 +82,24 @@ class VideoCounter:
             return jnp.sum(d * mask, axis=(1, 2, 3)) / log_para
 
         self._infer = infer
+
+    def _build_quantized(self, calib_frames: np.ndarray):
+        """Fold + calibrate + quantize on real frames (uint8 or already
+        normalized float)."""
+        from dgvcc_tpu.nn.quant import QuantizedDG
+
+        c = np.asarray(calib_frames)
+        if c.dtype == np.uint8:  # same normalize as infer()
+            c = (c.astype(np.float32) / 255.0 - 0.5) / 0.5
+        self.quantized = QuantizedDG.from_model(
+            self.model, self.variables, jnp.asarray(c, jnp.float32),
+            dtype=self.dtype)
+        self._quant_pending = False
+
+    def _weights(self):
+        """The jit argument: fp variables, or qparams once quantized."""
+        return (self.quantized.qparams if self.quantized is not None
+                else self.variables)
 
     @classmethod
     def from_checkpoint(cls, model_name: str, ckpt_path: Optional[str] = None,
@@ -134,8 +153,11 @@ class VideoCounter:
 
     def count_frames(self, frames: np.ndarray) -> np.ndarray:
         """frames: (B, H, W, 3) uint8 → (B,) predicted counts."""
-        padded, (h, w) = self._pad(np.asarray(frames))
-        counts = self._infer(self.variables, jnp.asarray(padded),
+        frames = np.asarray(frames)
+        if self._quant_pending:  # lazy calibration on the first real batch
+            self._build_quantized(frames)
+        padded, (h, w) = self._pad(frames)
+        counts = self._infer(self._weights(), jnp.asarray(padded),
                              jnp.asarray([h, w]))
         return np.asarray(counts)
 
@@ -145,8 +167,11 @@ class VideoCounter:
         so host decode overlaps TPU compute."""
         in_flight = []
         for frames in frame_batches:
-            padded, (h, w) = self._pad(np.asarray(frames))
-            fut = self._infer(self.variables, jnp.asarray(padded),
+            frames = np.asarray(frames)
+            if self._quant_pending:
+                self._build_quantized(frames)
+            padded, (h, w) = self._pad(frames)
+            fut = self._infer(self._weights(), jnp.asarray(padded),
                               jnp.asarray([h, w]))
             in_flight.append(fut)
             if len(in_flight) > prefetch:

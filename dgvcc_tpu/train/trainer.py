@@ -488,11 +488,11 @@ class DGTrainer:
         self.log(f"End training at {get_current_datetime()}")
         return best_criterion, best_epoch
 
-    def _quantized_counter(self, loader):
+    def _quantized_counter(self, calib_samples):
         """Int8 PTQ eval counter (config extra ``test_quantized: true``).
 
         Builds the quantized serving graph (nn/quant.py) from the
-        current weights, calibrated on the first test images, and wraps
+        current weights, calibrated on the given test samples, and wraps
         it in a TiledCounter so arbitrary-size evaluation works
         unchanged. DG family only; ~1.5x eval throughput on v5e at ~1%
         count drift (BENCH_NOTES.md)."""
@@ -507,16 +507,13 @@ class DGTrainer:
                 f"cls/memcls/final); got {type(self.model).__name__}")
         variables = {"params": unfreeze(self.state.params),
                      "batch_stats": unfreeze(self.state.batch_stats)}
-        imgs = []
-        for sample in loader:
-            imgs.append(sample["img1"])
-            if len(imgs) >= 4:
-                break
-        if imgs:  # one static square crop size across the calib batch
-            s = min(256, *(min(i.shape[0], i.shape[1]) for i in imgs))
-            calib = np.stack([i[:s, :s] for i in imgs])
-        else:
-            calib = np.zeros((1, 256, 256, 3), np.float32)
+        imgs = [s["img1"] for s in calib_samples]
+        if not imgs:
+            raise ValueError("test_quantized: empty test loader — nothing "
+                             "to calibrate activation scales on")
+        # one static square crop size across the calib batch
+        s = min(256, *(min(i.shape[0], i.shape[1]) for i in imgs))
+        calib = np.stack([i[:s, :s] for i in imgs])
         q = QuantizedDG.from_model(self.model, variables,
                                    jnp.asarray(calib, jnp.float32))
 
@@ -534,9 +531,17 @@ class DGTrainer:
         meter = DictAvgMeter()
         variables = self._variables()
         counter = self.counter
+        sample_iter = loader
         if self.cfg.extra.get("test_quantized"):
-            # local counter only — validate() keeps the fp path
-            counter = self._quantized_counter(loader)
+            # local counter only — validate() keeps the fp path. The
+            # calibration samples are replayed into the metric loop so a
+            # one-shot iterator loses nothing.
+            import itertools
+
+            it = iter(loader)
+            calib_samples = list(itertools.islice(it, 4))
+            counter = self._quantized_counter(calib_samples)
+            sample_iter = itertools.chain(calib_samples, it)
             self.log("Testing through the int8 PTQ serving graph")
 
         if self.mode == "generation":
@@ -545,7 +550,7 @@ class DGTrainer:
             self.validate(-1, 1e10)
             self.log(f"End testing at {get_current_datetime()}")
             return {}
-        for sample in loader:
+        for sample in sample_iter:
             pred = counter.count(variables, sample["img1"])
             gt_count = float(len(sample["gt"]))
             meter.update({"mae": abs(pred - gt_count),

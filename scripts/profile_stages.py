@@ -44,11 +44,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".xla_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from dgvcc_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from dgvcc_tpu.core.registry import MODELS
     import dgvcc_tpu.models  # noqa: F401

@@ -27,11 +27,10 @@ jax.config.update("jax_platforms", "cpu")
 # 1-core host). Caching compiled executables across runs cuts warm runs
 # to the execution-only time. The cache lives in the repo (gitignored)
 # so it survives across sessions.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".xla_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from dgvcc_tpu.core.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".xla_cache"))
 
 # ---------------------------------------------------------------------------
 # Two-lane suite. Even with the compile cache, the ~25 slowest tests are

@@ -95,6 +95,15 @@ def test_sampler_epoch_reshuffles_deterministically():
     np.testing.assert_array_equal(s2.epoch_indices(0), np.arange(10))
 
 
+def test_allgather_sum_single_process_identity():
+    from dgvcc_tpu.parallel.multihost import allgather_sum
+
+    tree = {"a": np.arange(6.0).reshape(2, 3), "b": np.float32(3.5)}
+    out = allgather_sum(tree)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    assert out["b"] == tree["b"]
+
+
 def test_sampler_tiny_dataset_wraps():
     samplers = _world(3, 2, 4)  # n < world*batch
     per_host = [s.epoch_indices(0) for s in samplers]
