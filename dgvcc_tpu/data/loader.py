@@ -38,7 +38,11 @@ class DataLoader:
                  num_workers: int = 0, drop_last: Optional[bool] = None,
                  seed: int = 0, collate=None, prefetch: int = 2,
                  worker_mode: str = "thread",
-                 pin_memory: bool = False):  # pin_memory: YAML compat no-op
+                 pin_memory: bool = False,  # pin_memory: YAML compat no-op
+                 sampler=None):
+        # sampler: a parallel.multihost.DistributedSampler — this host
+        # iterates only its own disjoint slice of every (shuffled) epoch
+        self.sampler = sampler
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +56,8 @@ class DataLoader:
         self._pool = None
 
     def __len__(self):
+        if self.sampler is not None:
+            return len(self.sampler)
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -61,6 +67,9 @@ class DataLoader:
         self.epoch = epoch
 
     def _indices(self):
+        if self.sampler is not None:
+            # already wrap-padded to a whole number of per-host batches
+            return self.sampler.epoch_indices(self.epoch)
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
@@ -137,7 +146,24 @@ class DataLoader:
 
 
 def build_loader(dataset, spec: dict, seed: int = 0, collate=None) -> DataLoader:
-    """spec is the reference's {train,val,test}_loader YAML block."""
+    """spec is the reference's {train,val,test}_loader YAML block.
+
+    On a multi-process pod run, shuffled (training) loaders get a
+    DistributedSampler automatically: each host iterates its own
+    disjoint slice of the epoch, so mesh-sharded global batches compose
+    from per-host loads (parallel/multihost.py). Eval loaders stay
+    whole-dataset on every host — the reference's metric protocol
+    evaluates the full split.
+    """
+    sampler = None
+    if spec.get("shuffle", False):
+        import jax
+
+        if jax.process_count() > 1:
+            from dgvcc_tpu.parallel.multihost import DistributedSampler
+
+            sampler = DistributedSampler(
+                len(dataset), spec.get("batch_size", 1), seed=seed)
     return DataLoader(
         dataset,
         batch_size=spec.get("batch_size", 1),
@@ -149,4 +175,5 @@ def build_loader(dataset, spec: dict, seed: int = 0, collate=None) -> DataLoader
         prefetch=spec.get("prefetch", 2),
         worker_mode=spec.get("worker_mode", "thread"),
         pin_memory=spec.get("pin_memory", False),
+        sampler=sampler,
     )

@@ -95,6 +95,36 @@ def test_sampler_epoch_reshuffles_deterministically():
     np.testing.assert_array_equal(s2.epoch_indices(0), np.arange(10))
 
 
+def test_dataloader_with_sampler_partitions_epoch():
+    """DataLoader(sampler=...) iterates only this host's slice; two
+    simulated hosts together cover the dataset with equal batch counts."""
+    from dgvcc_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 21
+
+        def __getitem__(self, i, rng=None):
+            return {"i": i}
+
+        @staticmethod
+        def collate(samples):
+            return [s["i"] for s in samples]
+
+    seen = []
+    lens = []
+    for rank in range(2):
+        s = DistributedSampler(21, 4, seed=5, rank=rank, world_size=2)
+        dl = DataLoader(DS(), batch_size=4, shuffle=True, sampler=s)
+        dl.set_epoch(3)
+        batches = list(dl)
+        lens.append(len(batches))
+        assert len(batches) == len(dl)
+        seen.extend(i for b in batches for i in b)
+    assert lens[0] == lens[1]
+    assert set(seen) == set(range(21))  # full coverage across hosts
+
+
 def test_allgather_sum_single_process_identity():
     from dgvcc_tpu.parallel.multihost import allgather_sum
 
