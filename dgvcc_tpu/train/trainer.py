@@ -459,6 +459,19 @@ class DGTrainer:
             crit.update(mae)
             extra.update({"mse": (pred - gt_count) ** 2})
         if self.isw_tracker is not None and self.isw_tracker.has_stats():
+            if jax.process_count() > 1:
+                # pod run: merge per-host covariance accumulations so the
+                # derived isw_ masks are IDENTICAL on every process (the
+                # replication contract of multihost.host_shard_batch; the
+                # sum equals single-host accumulation over the global val
+                # set). Every process reaches this collective in lockstep
+                # because validate() runs the same loop on each host.
+                from dgvcc_tpu.parallel.multihost import allgather_sum
+
+                merged = allgather_sum({"var": self.isw_tracker.var,
+                                        "count": np.asarray(self.isw_tracker.count)})
+                self.isw_tracker.var = list(merged["var"])
+                self.isw_tracker.count = int(merged["count"])
             self.isw_tracker.set_mask_matrix()
         self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
         for k, v in extra.avg.items():
