@@ -41,7 +41,13 @@ class DataLoader:
                  pin_memory: bool = False,  # pin_memory: YAML compat no-op
                  sampler=None):
         # sampler: a parallel.multihost.DistributedSampler — this host
-        # iterates only its own disjoint slice of every (shuffled) epoch
+        # iterates only its own disjoint slice of every (shuffled) epoch.
+        # batch_size is PER-HOST (torch per-process convention); the
+        # sampler must agree or __len__ and the batch slicing diverge.
+        if sampler is not None and sampler.batch_size != batch_size:
+            raise ValueError(
+                f"sampler.batch_size={sampler.batch_size} != loader "
+                f"batch_size={batch_size}; they must match")
         self.sampler = sampler
         self.dataset = dataset
         self.batch_size = batch_size
@@ -150,10 +156,12 @@ def build_loader(dataset, spec: dict, seed: int = 0, collate=None) -> DataLoader
 
     On a multi-process pod run, shuffled (training) loaders get a
     DistributedSampler automatically: each host iterates its own
-    disjoint slice of the epoch, so mesh-sharded global batches compose
-    from per-host loads (parallel/multihost.py). Eval loaders stay
-    whole-dataset on every host — the reference's metric protocol
-    evaluates the full split.
+    disjoint slice of the epoch, and the trainer assembles the global
+    batch from the per-host loads via multihost.host_shard_batch.
+    ``batch_size`` is PER-HOST (torch's per-process DataLoader
+    convention): the global batch is process_count x batch_size. Eval
+    loaders stay whole-dataset on every host — the reference's metric
+    protocol evaluates the full split.
     """
     sampler = None
     if spec.get("shuffle", False):

@@ -72,8 +72,11 @@ def global_mesh(n_devices: Optional[int] = None) -> Mesh:
 def host_shard_batch(mesh: Mesh, host_batch: Dict[str, Any]) -> Dict[str, Any]:
     """Assemble global arrays from per-process local batches.
 
-    ``host_batch`` holds THIS process's rows only (global_batch /
-    process_count of them). Keys with the ``isw_`` replicated prefix are
+    ``host_batch`` holds THIS process's rows only — the PER-HOST batch
+    (the YAML ``batch_size``, matching torch's per-process DataLoader
+    convention; the global batch is process_count x that, so per-config
+    dynamics scale with pod size exactly as they do in the torch
+    ecosystem). Keys with the ``isw_`` replicated prefix are
     placed replicated like parallel/mesh.py does — the CALLER must pass
     IDENTICAL values on every process (replicated placement from local
     data is undefined otherwise; sync per-host ISW tracker stats with
@@ -111,6 +114,25 @@ def allgather_sum(tree):
     return jax.tree.map(lambda x: np.asarray(x).sum(axis=0), gathered)
 
 
+def allgather_mean(tree):
+    """Mean of a pytree of host-local numpy arrays across processes.
+
+    For statistics every host accumulated over the SAME data (e.g. the
+    ISW tracker's full-val-set sums — val loaders are never
+    sampler-sharded), the mean is a logical no-op that enforces
+    bitwise-identical values on every host (per-host float
+    nondeterminism would otherwise leak into the derived masks).
+    Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    p = jax.process_count()
+    gathered = multihost_utils.process_allgather(tree)
+    return jax.tree.map(lambda x: np.asarray(x).sum(axis=0) / p, gathered)
+
+
 class DistributedSampler:
     """Deterministic per-host index slices that partition the dataset.
 
@@ -133,6 +155,8 @@ class DistributedSampler:
         self.world_size = jax.process_count() if world_size is None else world_size
         if not (0 <= self.rank < self.world_size):
             raise ValueError(f"rank {self.rank} outside world {self.world_size}")
+        if self.batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         """This host's sample indices for ``epoch``, grouped per batch."""

@@ -76,9 +76,16 @@ class DGTrainer:
         dp = int((cfg.mesh or {}).get("data", 1))
         self.dp_mesh = None
         if dp > 1:
-            from dgvcc_tpu.parallel import make_mesh
+            if jax.process_count() > 1:
+                # pod: the mesh spans every process's chips; batches are
+                # assembled from per-host loader slices (multihost.py)
+                from dgvcc_tpu.parallel.multihost import global_mesh
 
-            self.dp_mesh = make_mesh(dp)
+                self.dp_mesh = global_mesh(dp)
+            else:
+                from dgvcc_tpu.parallel import make_mesh
+
+                self.dp_mesh = make_mesh(dp)
 
         model_params = dict(cfg.model.get("params", {}))
         if dp > 1:
@@ -355,9 +362,16 @@ class DGTrainer:
                          if k in ("img1", "img2", "dmap", "bmap", "points",
                                   "pt_mask", "targets", "st_sizes")}
             if getattr(self, "dp_mesh", None) is not None:
-                from dgvcc_tpu.parallel import shard_batch
+                if jax.process_count() > 1:
+                    # each host contributes its own per-host rows (the
+                    # DistributedSampler slice) to the global batch
+                    from dgvcc_tpu.parallel.multihost import host_shard_batch
 
-                batch = shard_batch(self.dp_mesh, batch)
+                    batch = host_shard_batch(self.dp_mesh, batch)
+                else:
+                    from dgvcc_tpu.parallel import shard_batch
+
+                    batch = shard_batch(self.dp_mesh, batch)
             batch.update(isw_extra)
             self.rng, step_rng = jax.random.split(self.rng)
             if self.joint:
@@ -460,18 +474,22 @@ class DGTrainer:
             extra.update({"mse": (pred - gt_count) ** 2})
         if self.isw_tracker is not None and self.isw_tracker.has_stats():
             if jax.process_count() > 1:
-                # pod run: merge per-host covariance accumulations so the
-                # derived isw_ masks are IDENTICAL on every process (the
-                # replication contract of multihost.host_shard_batch; the
-                # sum equals single-host accumulation over the global val
-                # set). Every process reaches this collective in lockstep
-                # because validate() runs the same loop on each host.
-                from dgvcc_tpu.parallel.multihost import allgather_sum
+                # pod run: every host accumulates the FULL val set (val
+                # loaders are never sampler-sharded), so host stats are
+                # logically identical; the allgather MEAN enforces
+                # bitwise-identical masks across hosts (per-host float
+                # nondeterminism would otherwise break the isw_ mask
+                # replication contract of multihost.host_shard_batch) and
+                # keeps var/count at full-set scale. Every process
+                # reaches this collective in lockstep because validate()
+                # runs the same loop on each host. If val sharding is
+                # ever added, the mean keeps the var/count RATIO exact.
+                from dgvcc_tpu.parallel.multihost import allgather_mean
 
-                merged = allgather_sum({"var": self.isw_tracker.var,
-                                        "count": np.asarray(self.isw_tracker.count)})
+                merged = allgather_mean({"var": self.isw_tracker.var,
+                                         "count": np.asarray(self.isw_tracker.count, np.float64)})
                 self.isw_tracker.var = list(merged["var"])
-                self.isw_tracker.count = int(merged["count"])
+                self.isw_tracker.count = float(merged["count"])
             self.isw_tracker.set_mask_matrix()
         self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
         for k, v in extra.avg.items():

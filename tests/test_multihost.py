@@ -126,12 +126,22 @@ def test_dataloader_with_sampler_partitions_epoch():
 
 
 def test_allgather_sum_single_process_identity():
-    from dgvcc_tpu.parallel.multihost import allgather_sum
+    from dgvcc_tpu.parallel.multihost import allgather_mean, allgather_sum
 
     tree = {"a": np.arange(6.0).reshape(2, 3), "b": np.float32(3.5)}
-    out = allgather_sum(tree)
-    np.testing.assert_array_equal(out["a"], tree["a"])
-    assert out["b"] == tree["b"]
+    for fn in (allgather_sum, allgather_mean):
+        out = fn(tree)
+        np.testing.assert_array_equal(out["a"], tree["a"])
+        assert out["b"] == tree["b"]
+
+
+def test_dataloader_rejects_mismatched_sampler_batch_size():
+    from dgvcc_tpu.data.loader import DataLoader
+
+    s = DistributedSampler(10, 4, rank=0, world_size=1)
+    with pytest.raises(ValueError, match="batch_size"):
+        DataLoader(object(), batch_size=8, sampler=s,
+                   collate=lambda x: x)
 
 
 def test_sampler_tiny_dataset_wraps():
