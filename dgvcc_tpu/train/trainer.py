@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -349,6 +350,14 @@ class DGTrainer:
             isw_extra = {"isw_masks": masks, "isw_nums": nums,
                          "isw_margins": margins}
         for batch in train_loader:
+            if self._preempted:
+                # mid-epoch preemption: persist the last COMPLETED epoch
+                # (resume redoes this one) instead of risking the grace
+                # window on the rest of the epoch + validation
+                self._save_last(epoch - 1, best_criterion)
+                self.log(f"Preemption: saved last.ckpt at epoch {epoch - 1}"
+                         " (mid-epoch stop)")
+                return best_criterion, best_epoch
             if self.device_aug:
                 from dgvcc_tpu.data.device_pipeline import augment_two_view_batch
 
@@ -512,12 +521,51 @@ class DGTrainer:
         self.log(f"Start training at {get_current_datetime()}")
         self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
         start_epoch, best_criterion, best_epoch = self._resume_point()
-        for epoch in range(start_epoch, num_epochs or self.cfg.num_epochs):
-            best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
+        with self._graceful_shutdown(lambda: (best_criterion, best_epoch)):
+            for epoch in range(start_epoch, num_epochs or self.cfg.num_epochs):
+                best_criterion, best_epoch = self.train_epoch(
+                    epoch, best_criterion, best_epoch)
+                if self._preempted:
+                    self.log(f"Preemption: stopped after epoch {epoch}; "
+                             "resume from last.ckpt")
+                    break
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")
         self.log(f"End training at {get_current_datetime()}")
         return best_criterion, best_epoch
+
+    # ---- preemption safety ------------------------------------------------
+    # TPU pods are preemptible; SIGTERM arrives with a grace window. The
+    # handler only sets a flag — the epoch loop finishes the in-flight
+    # epoch (validate + save last.ckpt as usual, so the full state incl.
+    # optimizer/epoch/best lands on disk) and exits cleanly; resume via
+    # the config `checkpoint:` key or CLI --ckpt restores exactly.
+    # (The reference loses everything since its last epoch-end save too,
+    # but has no handler at all — a mid-save SIGTERM kills it.)
+    _preempted = False
+
+    @contextmanager
+    def _graceful_shutdown(self, _state_fn):
+        import signal
+
+        self._preempted = False
+
+        def handler(signum, _frame):
+            self._preempted = True
+            self.log(f"Received signal {signum}: finishing the current "
+                     "epoch, saving last.ckpt, then exiting")
+
+        prev = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    prev[sig] = signal.signal(sig, handler)
+                except ValueError:  # non-main thread: no handler possible
+                    pass
+            yield
+        finally:
+            for sig, h in prev.items():
+                signal.signal(sig, h)
 
     def _quantized_counter(self, calib_samples):
         """Int8 PTQ eval counter (config extra ``test_quantized: true``).

@@ -52,6 +52,7 @@ HEAVY = (
     "test_e2e.py::test_checkpoint_resume_roundtrip",
     "test_e2e.py::test_mesh_config_data_parallel_training",
     "test_e2e.py::test_quantized_test_task",
+    "test_e2e.py::test_preemption_graceful_save",
     "test_genjoint.py::test_mode_trains",
     "test_genjoint.py::test_joint_mode_saves_pairs",
     "test_train_steps.py::test_train_step_runs_and_learns",

@@ -248,6 +248,44 @@ def test_launcher_dry_run_and_env(tmp_path, capsys):
     assert ns.ckpt == "logs/x/last.ckpt"
 
 
+def test_preemption_graceful_save(tmp_path, synth_root):
+    """SIGTERM during training sets the flag (handler test), and a
+    mid-epoch preemption saves last.ckpt for the last COMPLETED epoch
+    so resume redoes the interrupted one."""
+    import signal
+
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.checkpoint import load_checkpoint
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "preempt"
+    t = DGTrainer(cfg)
+    t.build()
+    t.train(num_epochs=1)  # epoch 0 completes, last.ckpt at epoch 0
+
+    # the signal handler inside the shutdown context sets the flag
+    with t._graceful_shutdown(lambda: None):
+        assert not t._preempted
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert t._preempted
+    # handler restored: SIGTERM outside the context is the default again
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                signal.Handlers.SIG_DFL)
+
+    # mid-epoch preemption: the batch-boundary check saves epoch-1
+    t._preempted = True
+    best, bep = t.train_epoch(1, 10.0, 0)
+    assert (best, bep) == (10.0, 0)  # unchanged — epoch 1 didn't finish
+    _, extra, _ = load_checkpoint(os.path.join(t.log_dir, "last.ckpt"),
+                                  t.state)
+    assert int(np.asarray(extra["epoch"])) == 0  # resume redoes epoch 1
+    log = open(os.path.join(t.log_dir, "log.txt")).read()
+    assert "Preemption: saved last.ckpt at epoch 0 (mid-epoch stop)" in log
+
+
 def test_quantized_test_task(tmp_path, synth_root):
     """Config extra `test_quantized: true` routes the test task through
     the int8 PTQ graph; metrics stay finite and the fp validate counter
