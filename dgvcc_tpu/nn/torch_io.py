@@ -512,3 +512,104 @@ def load_pretrained_backbone(variables: Dict, model_name: str,
             variables = graft(variables, (name,), p, s)
         return variables, "vgg16_bn → features1-5"
     return variables, "no pretrained mapping"
+
+
+# ---------------------------------------------------------------------------
+# Full trained-model migration: reference DGModel checkpoints → DGModel
+# ---------------------------------------------------------------------------
+
+def _convblock_to_flax(sd: Dict[str, np.ndarray], prefix: str
+                       ) -> Tuple[Dict, Optional[Dict]]:
+    """Reference ConvBlock (models.py:8-21: .conv / optional .bn) →
+    flax ConvBlock (nn/layers.py: Conv_0 / BatchNorm_0)."""
+    p: Dict = {"Conv_0": {"kernel": conv_to_flax(sd[f"{prefix}.conv.weight"])}}
+    if f"{prefix}.conv.bias" in sd:
+        p["Conv_0"]["bias"] = sd[f"{prefix}.conv.bias"]
+    s = None
+    if f"{prefix}.bn.weight" in sd:
+        p["BatchNorm_0"] = {"scale": sd[f"{prefix}.bn.weight"],
+                            "bias": sd[f"{prefix}.bn.bias"]}
+        s = {"BatchNorm_0": {"mean": sd[f"{prefix}.bn.running_mean"],
+                             "var": sd[f"{prefix}.bn.running_var"]}}
+    return p, s
+
+
+def dg_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Convert a TRAINED reference DGModel_{base,mem,memadd,cls,memcls,
+    final} state_dict (models/models.py:29-335) to (params, batch_stats)
+    for models/dg.py::DGModel — the checkpoint-migration path for users
+    switching from the reference with trained weights.
+
+    Key mapping:
+      * enc{1,2,3}.{local}.*  — Sequential slices of vgg16_bn features;
+        local indices re-base to torchvision feature indices (our
+        conv{i}/bn{i} names);
+      * dec{3,2,1}.{j}.*      → dec{3,2,1}_{j} ConvBlocks;
+      * den_dec.0 / den_head.0 / cls_head.{0,2} → den_dec / den_head /
+        cls_conv{1,2} (dropout/sigmoid carry no weights);
+      * mem (1, K, S)         → memory/mem (K, S).
+    """
+    from dgvcc_tpu.nn.vgg import VGG16_CFG
+
+    params: Dict = {}
+    stats: Dict = {}
+    for enc, lo, hi in (("enc1", 0, 23), ("enc2", 23, 33), ("enc3", 33, 43)):
+        sub = {}
+        pref = enc + "."
+        for k, v in sd.items():
+            if k.startswith(pref):
+                loc, rest = k[len(pref):].split(".", 1)
+                sub[f"{int(loc) + lo}.{rest}"] = v
+        p, s = vgg_features_to_flax(sub, VGG16_CFG, True, lo, hi,
+                                    key_prefix="")
+        params[enc], stats[enc] = p, s
+
+    for dec in ("dec3", "dec2", "dec1"):
+        for j in (0, 1):
+            p, s = _convblock_to_flax(sd, f"{dec}.{j}")
+            params[f"{dec}_{j}"] = p
+            if s:
+                stats[f"{dec}_{j}"] = s
+
+    p, s = _convblock_to_flax(sd, "den_dec.0")
+    params["den_dec"] = p
+    if s:
+        stats["den_dec"] = s
+    p, _ = _convblock_to_flax(sd, "den_head.0")
+    params["den_head"] = p
+
+    if "mem" in sd:
+        params["memory"] = {"mem": np.asarray(sd["mem"])[0]}
+    if "cls_head.0.conv.weight" in sd:
+        p, s = _convblock_to_flax(sd, "cls_head.0")
+        params["cls_conv1"] = p
+        stats["cls_conv1"] = s
+        p, _ = _convblock_to_flax(sd, "cls_head.2")
+        params["cls_conv2"] = p
+    return params, stats
+
+
+def load_reference_dg_checkpoint(variables: Dict, sd: Dict[str, np.ndarray]
+                                 ) -> Dict:
+    """Install a trained reference DGModel checkpoint into an initialized
+    DGModel's variables, with variant-mismatch checks (a checkpoint with
+    a memory bank needs a use_mem model etc.)."""
+    p, s = dg_checkpoint_to_flax(sd)
+    have = set(variables["params"])
+    want = set(p)
+    if "memory" in want and "memory" not in have:
+        raise ValueError("checkpoint has a memory bank (mem/memadd/memcls/"
+                         "final) but the model was built without use_mem")
+    if "cls_conv1" in want and "cls_conv1" not in have:
+        raise ValueError("checkpoint has a classifier head (cls/memcls/"
+                         "final) but the model was built without use_cls")
+    missing = have - want
+    if missing:
+        raise ValueError(
+            f"checkpoint is missing modules the model expects: "
+            f"{sorted(missing)} — wrong variant? (model expects "
+            f"{sorted(have)}, checkpoint provides {sorted(want)})")
+    out = dict(variables)
+    for name in want:
+        out = graft(out, (name,), p[name], s.get(name, {}))
+    return out

@@ -114,7 +114,23 @@ class VideoCounter:
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             jnp.zeros((1, 256, 256, 3), dtype),
         )
-        if ckpt_path:
+        if ckpt_path and str(ckpt_path).endswith((".pth", ".pt")):
+            # trained reference checkpoint (torch state_dict) — convert
+            from flax.core import unfreeze
+
+            from dgvcc_tpu.models.dg import DGModel
+            from dgvcc_tpu.nn.torch_io import (
+                load_reference_dg_checkpoint, load_torch_state_dict)
+
+            if not isinstance(model, DGModel):
+                raise ValueError(
+                    ".pth conversion supports the DG family; got "
+                    f"{type(model).__name__}")
+            variables = load_reference_dg_checkpoint(
+                {"params": unfreeze(variables["params"]),
+                 "batch_stats": unfreeze(variables.get("batch_stats", {}))},
+                load_torch_state_dict(ckpt_path))
+        elif ckpt_path:
             # reuse the trainer's non-strict merge: matching subtrees
             # restore, mismatches warn instead of failing opaquely later
             from flax import serialization

@@ -289,6 +289,30 @@ class DGTrainer:
                 except Exception as e:
                     self.log(f"  [ckpt] scheduler state not restored: {e}")
             return
+        if str(path).endswith((".pth", ".pt")):
+            # migration path: a TRAINED reference checkpoint
+            # (torch state_dict of models/models.py DGModel_*) converts
+            # in place — reference users bring their trained weights
+            from flax.core import unfreeze
+
+            from dgvcc_tpu.models.dg import DGModel
+            from dgvcc_tpu.nn.torch_io import (
+                load_reference_dg_checkpoint, load_torch_state_dict)
+
+            if not isinstance(self.model, DGModel):
+                raise ValueError(
+                    ".pth checkpoint conversion supports the DG family "
+                    f"(models.py DGModel_*); got {type(self.model).__name__}")
+            self.log(f"Converting reference checkpoint {path}")
+            sd = load_torch_state_dict(path)
+            variables = load_reference_dg_checkpoint(
+                {"params": unfreeze(self.state.params),
+                 "batch_stats": unfreeze(self.state.batch_stats)}, sd)
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"])
+            self._resume = None  # reference ckpts carry weights only
+            return
         self.log(f"Loading checkpoint from {path}")
         self.state, extra, warnings = load_checkpoint(path, self.state)
         for w in warnings[:10]:

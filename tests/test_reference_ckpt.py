@@ -1,0 +1,256 @@
+"""Trained-checkpoint migration: reference DGModel state_dict → DGModel.
+
+The reference's users carry trained .pth files; dg_checkpoint_to_flax /
+load_reference_dg_checkpoint must reproduce the reference's eval
+forward from those weights. Golden: a functional-torch implementation
+of DGModel_memcls/final eval (models/models.py:29-273) driven by the
+same synthetic state_dict.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from dgvcc_tpu.core.registry import MODELS
+import dgvcc_tpu.models  # noqa: F401
+from dgvcc_tpu.nn.torch_io import (
+    dg_checkpoint_to_flax,
+    load_reference_dg_checkpoint,
+)
+from dgvcc_tpu.nn.vgg import VGG16_CFG, feature_layout
+
+MEM_DIM, MEM_SIZE = 16, 8
+
+
+def synth_dg_state_dict(rng, with_mem=True, with_cls=True):
+    """Random reference-layout DGModel state_dict (torch Sequential
+    local indices, ConvBlock .conv/.bn naming)."""
+    sd = {}
+
+    def conv(pre, cin, cout, k=3, bias=False):
+        sd[f"{pre}.weight"] = rng.normal(0, 0.05, (cout, cin, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{pre}.bias"] = rng.normal(0, 0.05, cout).astype(np.float32)
+
+    def bn(pre, c):
+        sd[f"{pre}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{pre}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{pre}.running_mean"] = rng.normal(0, 0.1, c).astype(np.float32)
+        sd[f"{pre}.running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
+
+    # encoders: torchvision vgg16_bn features sliced into Sequentials —
+    # keys use LOCAL indices (enc2.0 is features[23], a pool)
+    prev = 3
+    for enc, lo, hi in (("enc1", 0, 23), ("enc2", 23, 33), ("enc3", 33, 43)):
+        for kind, idx, arg in feature_layout(VGG16_CFG, True):
+            if not (lo <= idx < hi):
+                continue
+            loc = idx - lo
+            if kind == "conv":
+                conv(f"{enc}.{loc}", prev, arg, bias=True)
+                prev = arg
+            elif kind == "bn":
+                bn(f"{enc}.{loc}", arg)
+
+    def convblock(pre, cin, cout, k=3, with_bn=True):
+        conv(f"{pre}.conv", cin, cout, k=k)
+        if with_bn:
+            bn(f"{pre}.bn", cout)
+
+    convblock("dec3.0", 512, 1024)
+    convblock("dec3.1", 1024, 512)
+    convblock("dec2.0", 1024, 512)
+    convblock("dec2.1", 512, 256)
+    convblock("dec1.0", 512, 256)
+    convblock("dec1.1", 256, 128)
+    den_ch = MEM_DIM if with_mem else 256
+    convblock("den_dec.0", 896, den_ch, k=1)
+    convblock("den_head.0", den_ch, 1, k=1, with_bn=False)
+    if with_mem:
+        sd["mem"] = rng.normal(0, 1, (1, MEM_DIM, MEM_SIZE)).astype(np.float32)
+    if with_cls:
+        convblock("cls_head.0", 512, 256)
+        convblock("cls_head.2", 256, 1, k=1, with_bn=False)
+    return sd
+
+
+# ---- functional-torch golden (reference models.py eval path) -------------
+
+def t_convblock(x, sd, pre, pad=1, relu=True):
+    w = torch.tensor(sd[f"{pre}.conv.weight"])
+    x = TF.conv2d(x, w, padding=pad)
+    if f"{pre}.bn.weight" in sd:
+        x = TF.batch_norm(
+            x, torch.tensor(sd[f"{pre}.bn.running_mean"]),
+            torch.tensor(sd[f"{pre}.bn.running_var"]),
+            torch.tensor(sd[f"{pre}.bn.weight"]),
+            torch.tensor(sd[f"{pre}.bn.bias"]), training=False, eps=1e-5)
+    return TF.relu(x) if relu else x
+
+
+def t_encoder(x, sd):
+    feats = []
+    for enc, lo, hi in (("enc1", 0, 23), ("enc2", 23, 33), ("enc3", 33, 43)):
+        for kind, idx, _ in feature_layout(VGG16_CFG, True):
+            if not (lo <= idx < hi):
+                continue
+            loc = idx - lo
+            if kind == "conv":
+                x = TF.conv2d(x, torch.tensor(sd[f"{enc}.{loc}.weight"]),
+                              torch.tensor(sd[f"{enc}.{loc}.bias"]), padding=1)
+            elif kind == "bn":
+                x = TF.batch_norm(
+                    x, torch.tensor(sd[f"{enc}.{loc}.running_mean"]),
+                    torch.tensor(sd[f"{enc}.{loc}.running_var"]),
+                    torch.tensor(sd[f"{enc}.{loc}.weight"]),
+                    torch.tensor(sd[f"{enc}.{loc}.bias"]),
+                    training=False, eps=1e-5)
+            elif kind == "relu":
+                x = TF.relu(x)
+            elif kind == "pool":
+                x = TF.max_pool2d(x, 2, 2)
+        feats.append(x)
+    return feats
+
+
+def t_up(x, f, mode="bilinear"):
+    if mode == "nearest":
+        return TF.interpolate(x, scale_factor=f, mode=mode)
+    return TF.interpolate(x, scale_factor=f, mode=mode, align_corners=False)
+
+
+def torch_dg_final_eval(x_np, sd, cls_thrs=0.5):
+    """models.py:230-273 (memcls forward, the final eval path)."""
+    x = torch.tensor(x_np)
+    x1, x2, x3 = t_encoder(x, sd)
+    y = t_convblock(t_convblock(x3, sd, "dec3.0"), sd, "dec3.1")
+    y3 = y
+    y = torch.cat([t_up(y, 2), x2], dim=1)
+    y = t_convblock(t_convblock(y, sd, "dec2.0"), sd, "dec2.1")
+    y2 = y
+    y = torch.cat([t_up(y, 2), x1], dim=1)
+    y = t_convblock(t_convblock(y, sd, "dec1.0"), sd, "dec1.1")
+    y_cat = torch.cat([y, t_up(y2, 2), t_up(y3, 4)], dim=1)
+    y_den = t_convblock(y_cat, sd, "den_dec.0", pad=0)
+    # forward_mem (models.py:116-125)
+    b, k, h, w = y_den.shape
+    m = torch.tensor(sd["mem"]).repeat(b, 1, 1)
+    m_key = m.transpose(1, 2)
+    y_ = y_den.reshape(b, k, -1)
+    logits = torch.bmm(m_key, y_) / np.sqrt(k)
+    y_new = torch.bmm(m_key.transpose(1, 2), TF.softmax(logits, dim=1))
+    y_den = y_new.reshape(b, k, h, w)
+    c = torch.sigmoid(t_convblock(
+        t_convblock(x3, sd, "cls_head.0"), sd, "cls_head.2", pad=0,
+        relu=False))
+    c_bin = torch.where(c >= cls_thrs, 1.0, 0.0)
+    d = t_convblock(y_den, sd, "den_head.0", pad=0)
+    dc = t_up(d * t_up(c_bin, 4, "nearest"), 4)
+    return dc.numpy(), c.numpy()
+
+
+@pytest.fixture(scope="module")
+def converted():
+    rng = np.random.default_rng(21)
+    sd = synth_dg_state_dict(rng)
+    model = MODELS.build("final", mem_size=MEM_SIZE, mem_dim=MEM_DIM)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x)
+    variables = load_reference_dg_checkpoint(dict(variables), sd)
+    return model, variables, sd, rng
+
+
+def test_full_model_eval_parity(converted):
+    """The migrated checkpoint reproduces the reference eval forward."""
+    model, variables, sd, rng = converted
+    x = rng.normal(0, 1, (2, 64, 96, 3)).astype(np.float32)
+    dc, c = model.apply(variables, jnp.asarray(x))
+    dc_t, c_t = torch_dg_final_eval(np.transpose(x, (0, 3, 1, 2)), sd)
+    np.testing.assert_allclose(np.asarray(c),
+                               np.transpose(c_t, (0, 2, 3, 1)),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dc),
+                               np.transpose(dc_t, (0, 2, 3, 1)),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_all_sites_installed(converted):
+    """Every converted module landed (no init weights survive)."""
+    model, variables, sd, _ = converted
+    p, s = dg_checkpoint_to_flax(sd)
+    assert set(p) == set(variables["params"])
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["memory"]["mem"]), sd["mem"][0])
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["dec2_1"]["BatchNorm_0"]["mean"]),
+        sd["dec2.1.bn.running_mean"])
+
+
+def test_pth_drives_trainer_and_serve(tmp_path, converted):
+    """A saved reference .pth feeds both the trainer's load_ckpt and
+    VideoCounter.from_checkpoint (the user migration entry points)."""
+    _, variables, sd, rng = converted
+    pth = tmp_path / "trained_reference.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    from dgvcc_tpu.serve import VideoCounter
+
+    counter = VideoCounter.from_checkpoint(
+        "final", str(pth), dtype=jnp.float32,
+        mem_size=MEM_SIZE, mem_dim=MEM_DIM)
+    np.testing.assert_array_equal(
+        np.asarray(counter.variables["params"]["memory"]["mem"]),
+        sd["mem"][0])
+    frames = rng.integers(0, 256, (1, 64, 64, 3), dtype=np.uint8)
+    counts = counter.count_frames(frames)
+    assert np.isfinite(counts).all()
+
+    # trainer path converts for DG models, refuses others clearly
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    def make_trainer(model):
+        cfg = Config.from_dict({
+            "seed": 0, "version": f"pth_mig_{model['name']}",
+            "log_para": 1000, "patch_size": 1440, "mode": "simple",
+            "num_epochs": 1, "checkpoint": None, "model": model,
+            "loss": {"name": "mse", "params": {}},
+            "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+            "compute_dtype": "float32", "log_dir": str(tmp_path / "logs"),
+        })
+        t = DGTrainer(cfg)
+        t.build()
+        return t
+
+    t = make_trainer({"name": "final", "params": {
+        "pretrained": False, "mem_size": MEM_SIZE, "mem_dim": MEM_DIM}})
+    t.load_ckpt(str(pth))
+    np.testing.assert_array_equal(
+        np.asarray(t.state.params["memory"]["mem"]), sd["mem"][0])
+
+    t2 = make_trainer({"name": "csrnet", "params": {"pretrained": False}})
+    with pytest.raises(ValueError, match="DG family"):
+        t2.load_ckpt(str(pth))
+
+
+def test_variant_mismatch_errors():
+    rng = np.random.default_rng(3)
+    sd = synth_dg_state_dict(rng, with_mem=True, with_cls=True)
+    base = MODELS.build("base")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = base.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, x)
+    with pytest.raises(ValueError, match="memory bank"):
+        load_reference_dg_checkpoint(dict(v), sd)
+
+    sd_base = synth_dg_state_dict(rng, with_mem=False, with_cls=False)
+    final = MODELS.build("final", mem_size=MEM_SIZE, mem_dim=MEM_DIM)
+    vf = final.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x)
+    with pytest.raises(ValueError, match="missing modules"):
+        load_reference_dg_checkpoint(dict(vf), sd_base)
