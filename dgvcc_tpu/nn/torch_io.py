@@ -613,3 +613,103 @@ def load_reference_dg_checkpoint(variables: Dict, sd: Dict[str, np.ndarray]
     for name in want:
         out = graft(out, (name,), p[name], s.get(name, {}))
     return out
+
+
+# reference Generator dec Sequential index ↔ our module name
+# (models2.py:36-52: ConvBlocks at 0,1 | up | 3,4,5,6 | up | 8,9 | up
+#  | 11, 12; Upsample/Tanh carry no weights)
+_GEN_DEC_MAP = ((0, "dec0"), (1, "dec1"), (3, "dec2_0"), (4, "dec2_1"),
+                (5, "dec2_2"), (6, "dec2_3"), (8, "dec3_0"), (9, "dec3_1"),
+                (11, "dec4"), (12, "out"))
+
+
+def generator_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference Generator (models2.py:29-56) → models/regressors
+    Generator ('gen'): plain-VGG19[:26] encoder + tanh decoder."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    params: Dict = {}
+    stats: Dict = {}
+    p, s = vgg_features_to_flax(sd, VGG19_CFG, False, 0, 26,
+                                key_prefix="enc.")
+    params["enc"], stats["enc"] = p, s
+    for idx, name in _GEN_DEC_MAP:
+        p, s = _convblock_to_flax(sd, f"dec.{idx}")
+        params[name] = p
+        if s:
+            stats[name] = s
+    return params, stats
+
+
+def regressor_m_checkpoint_to_flax(sd: Dict[str, np.ndarray]
+                                   ) -> Tuple[Dict, Dict]:
+    """Trained reference DensityRegressorM (models2.py:189-373) →
+    models/regressors.DensityRegressorM ('reg_mem'): VGG16-BN U-Net
+    under 'fe', memory bank, den/cls heads."""
+    from dgvcc_tpu.nn.vgg import VGG16_CFG
+
+    params: Dict = {"fe": {}}
+    stats: Dict = {"fe": {}}
+    for st, lo, hi in (("stage1", 0, 23), ("stage2", 23, 33),
+                       ("stage3", 33, 43)):
+        sub = {}
+        pref = st + "."
+        for k, v in sd.items():
+            if k.startswith(pref):
+                loc, rest = k[len(pref):].split(".", 1)
+                sub[f"{int(loc) + lo}.{rest}"] = v
+        p, s = vgg_features_to_flax(sub, VGG16_CFG, True, lo, hi,
+                                    key_prefix="")
+        params["fe"][st], stats["fe"][st] = p, s
+    for dec in ("dec3", "dec2", "dec1"):
+        for j in (0, 1):
+            p, s = _convblock_to_flax(sd, f"{dec}.{j}")
+            params["fe"][f"{dec}_{j}"] = p
+            if s:
+                stats["fe"][f"{dec}_{j}"] = s
+    p, s = _convblock_to_flax(sd, "den_dec.0")
+    params["den_dec"] = p
+    if s:
+        stats["den_dec"] = s
+    p, _ = _convblock_to_flax(sd, "den_head")  # direct ConvBlock, no Sequential
+    params["den_head"] = p
+    params["memory"] = {"mem": np.asarray(sd["mem"])[0]}
+    p, s = _convblock_to_flax(sd, "cls_head.0")
+    params["cls_conv1"] = p
+    stats["cls_conv1"] = s
+    p, _ = _convblock_to_flax(sd, "cls_head.2")
+    params["cls_conv2"] = p
+    return params, stats
+
+
+def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
+                              model) -> Dict:
+    """Dispatch trained reference-checkpoint conversion by model type.
+
+    Covers the model families the reference ships trained checkpoints
+    for in its configs: the DGModel family ('base'..'final'), the
+    models2 Generator ('gen') and DensityRegressorM ('reg_mem', mode
+    regression/joint). Raises with the supported list otherwise.
+    """
+    from dgvcc_tpu.models.dg import DGModel
+    from dgvcc_tpu.models.regressors import DensityRegressorM, Generator
+
+    if isinstance(model, DGModel):
+        return load_reference_dg_checkpoint(variables, sd)
+    if isinstance(model, Generator):
+        p, s = generator_checkpoint_to_flax(sd)
+    elif isinstance(model, DensityRegressorM):
+        p, s = regressor_m_checkpoint_to_flax(sd)
+    else:
+        raise ValueError(
+            ".pth checkpoint conversion supports the DG family, 'gen' "
+            f"and 'reg_mem'; got {type(model).__name__}")
+    have = set(variables["params"])
+    missing = have - set(p)
+    if missing:
+        raise ValueError(f"checkpoint is missing modules the model "
+                         f"expects: {sorted(missing)}")
+    out = dict(variables)
+    for name in p:
+        out = graft(out, (name,), p[name], s.get(name, {}))
+    return out

@@ -118,18 +118,13 @@ class VideoCounter:
             # trained reference checkpoint (torch state_dict) — convert
             from flax.core import unfreeze
 
-            from dgvcc_tpu.models.dg import DGModel
             from dgvcc_tpu.nn.torch_io import (
-                load_reference_dg_checkpoint, load_torch_state_dict)
+                load_reference_checkpoint, load_torch_state_dict)
 
-            if not isinstance(model, DGModel):
-                raise ValueError(
-                    ".pth conversion supports the DG family; got "
-                    f"{type(model).__name__}")
-            variables = load_reference_dg_checkpoint(
+            variables = load_reference_checkpoint(
                 {"params": unfreeze(variables["params"]),
                  "batch_stats": unfreeze(variables.get("batch_stats", {}))},
-                load_torch_state_dict(ckpt_path))
+                load_torch_state_dict(ckpt_path), model)
         elif ckpt_path:
             # reuse the trainer's non-strict merge: matching subtrees
             # restore, mismatches warn instead of failing opaquely later

@@ -275,10 +275,18 @@ class DGTrainer:
             extra = {}
             if gen_path and self.joint:
                 self.log(f"Loading generator checkpoint from {gen_path}")
-                self.gen_state, extra, _ = load_checkpoint(gen_path, self.gen_state)
+                if str(gen_path).endswith((".pth", ".pt")):
+                    self.gen_state = self._convert_reference_pth(
+                        gen_path, self.gen_state, self.gen_model)
+                else:
+                    self.gen_state, extra, _ = load_checkpoint(gen_path, self.gen_state)
             if reg_path:
                 self.log(f"Loading regressor checkpoint from {reg_path}")
-                self.state, extra, _ = load_checkpoint(reg_path, self.state)
+                if str(reg_path).endswith((".pth", ".pt")):
+                    self.state = self._convert_reference_pth(
+                        reg_path, self.state, self.model)
+                else:
+                    self.state, extra, _ = load_checkpoint(reg_path, self.state)
             # pair checkpoints carry the same extra — resume exactly too
             self._resume = extra if isinstance(extra, dict) and "epoch" in extra else None
             if self._resume and self.scheduler is not None and "scheduler" in self._resume:
@@ -290,27 +298,12 @@ class DGTrainer:
                     self.log(f"  [ckpt] scheduler state not restored: {e}")
             return
         if str(path).endswith((".pth", ".pt")):
-            # migration path: a TRAINED reference checkpoint
-            # (torch state_dict of models/models.py DGModel_*) converts
-            # in place — reference users bring their trained weights
-            from flax.core import unfreeze
-
-            from dgvcc_tpu.models.dg import DGModel
-            from dgvcc_tpu.nn.torch_io import (
-                load_reference_dg_checkpoint, load_torch_state_dict)
-
-            if not isinstance(self.model, DGModel):
-                raise ValueError(
-                    ".pth checkpoint conversion supports the DG family "
-                    f"(models.py DGModel_*); got {type(self.model).__name__}")
+            # migration path: a TRAINED reference checkpoint (torch
+            # state_dict) converts in place — reference users bring
+            # trained weights (DG family, 'gen', 'reg_mem')
             self.log(f"Converting reference checkpoint {path}")
-            sd = load_torch_state_dict(path)
-            variables = load_reference_dg_checkpoint(
-                {"params": unfreeze(self.state.params),
-                 "batch_stats": unfreeze(self.state.batch_stats)}, sd)
-            self.state = self.state.replace(
-                params=variables["params"],
-                batch_stats=variables["batch_stats"])
+            self.state = self._convert_reference_pth(path, self.state,
+                                                     self.model)
             self._resume = None  # reference ckpts carry weights only
             return
         self.log(f"Loading checkpoint from {path}")
@@ -326,6 +319,19 @@ class DGTrainer:
                      for k, v in self._resume["scheduler"].items()})
             except Exception as e:
                 self.log(f"  [ckpt] scheduler state not restored: {e}")
+
+    def _convert_reference_pth(self, path, state, model):
+        from flax.core import unfreeze
+
+        from dgvcc_tpu.nn.torch_io import (
+            load_reference_checkpoint, load_torch_state_dict)
+
+        sd = load_torch_state_dict(path)
+        variables = load_reference_checkpoint(
+            {"params": unfreeze(state.params),
+             "batch_stats": unfreeze(state.batch_stats)}, sd, model)
+        return state.replace(params=variables["params"],
+                             batch_stats=variables["batch_stats"])
 
     def _ckpt_extra(self, epoch, best):
         extra = {"epoch": epoch, "best": best}

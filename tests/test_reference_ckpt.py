@@ -254,3 +254,152 @@ def test_variant_mismatch_errors():
                      "dropout": jax.random.PRNGKey(1)}, x)
     with pytest.raises(ValueError, match="missing modules"):
         load_reference_dg_checkpoint(dict(vf), sd_base)
+
+
+# ---- models2 family (gen / reg_mem) --------------------------------------
+
+def _mk_conv(sd, pre, cin, cout, k=3, bias=False, rng=None):
+    sd[f"{pre}.weight"] = rng.normal(0, 0.05, (cout, cin, k, k)).astype(np.float32)
+    if bias:
+        sd[f"{pre}.bias"] = rng.normal(0, 0.05, cout).astype(np.float32)
+
+
+def _mk_bn(sd, pre, c, rng):
+    sd[f"{pre}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    sd[f"{pre}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+    sd[f"{pre}.running_mean"] = rng.normal(0, 0.1, c).astype(np.float32)
+    sd[f"{pre}.running_var"] = rng.uniform(0.5, 2.0, c).astype(np.float32)
+
+
+def _mk_convblock(sd, pre, cin, cout, k=3, with_bn=True, rng=None):
+    _mk_conv(sd, f"{pre}.conv", cin, cout, k=k, rng=rng)
+    if with_bn:
+        _mk_bn(sd, f"{pre}.bn", cout, rng)
+
+
+def synth_generator_sd(rng):
+    """Reference Generator (models2.py:29-56): plain-vgg19[:26] enc +
+    dec Sequential with ConvBlocks at 0,1,3,4,5,6,8,9,11,12."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    sd = {}
+    prev = 3
+    for kind, idx, arg in feature_layout(VGG19_CFG, False):
+        if idx >= 26:
+            break
+        if kind == "conv":
+            _mk_conv(sd, f"enc.{idx}", prev, arg, bias=True, rng=rng)
+            prev = arg
+    dec = [(0, 512, 512, 3), (1, 512, 256, 3), (3, 256, 256, 3),
+           (4, 256, 256, 3), (5, 256, 256, 3), (6, 256, 128, 3),
+           (8, 128, 128, 3), (9, 128, 64, 3), (11, 64, 64, 3),
+           (12, 64, 3, 1)]
+    for idx, cin, cout, k in dec:
+        _mk_convblock(sd, f"dec.{idx}", cin, cout, k=k,
+                      with_bn=(idx != 12), rng=rng)
+    return sd
+
+
+def synth_regressor_m_sd(rng):
+    """Reference DensityRegressorM (models2.py:189-373)."""
+    sd = {}
+    prev = 3
+    for st, lo, hi in (("stage1", 0, 23), ("stage2", 23, 33),
+                       ("stage3", 33, 43)):
+        for kind, idx, arg in feature_layout(VGG16_CFG, True):
+            if not (lo <= idx < hi):
+                continue
+            loc = idx - lo
+            if kind == "conv":
+                _mk_conv(sd, f"{st}.{loc}", prev, arg, bias=True, rng=rng)
+                prev = arg
+            elif kind == "bn":
+                _mk_bn(sd, f"{st}.{loc}", arg, rng)
+    for pre, cin, cout in (("dec3.0", 512, 1024), ("dec3.1", 1024, 512),
+                           ("dec2.0", 1024, 512), ("dec2.1", 512, 256),
+                           ("dec1.0", 512, 256), ("dec1.1", 256, 128)):
+        _mk_convblock(sd, pre, cin, cout, rng=rng)
+    _mk_convblock(sd, "den_dec.0", 896, 256, k=1, rng=rng)
+    _mk_convblock(sd, "den_head", 256, 1, k=1, with_bn=False, rng=rng)
+    sd["mem"] = rng.normal(0, 1, (1, 256, 1024)).astype(np.float32)
+    _mk_convblock(sd, "cls_head.0", 512, 256, rng=rng)
+    _mk_convblock(sd, "cls_head.2", 256, 1, k=1, with_bn=False, rng=rng)
+    return sd
+
+
+def test_generator_checkpoint_converts_and_runs(tmp_path):
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(31)
+    sd = synth_generator_sd(rng)
+    model = MODELS.build("gen")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["dec2_3"]["Conv_0"]["kernel"]),
+        np.transpose(sd["dec.6.conv.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["batch_stats"]["dec4"]["BatchNorm_0"]["var"]),
+        sd["dec.11.bn.running_var"])
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    out = np.asarray(out)
+    assert np.isfinite(out).all() and out.min() >= -1 and out.max() <= 1
+
+
+def test_regressor_m_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(33)
+    sd = synth_regressor_m_sd(rng)
+    model = MODELS.build("reg_mem")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]) == set(v["params"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["memory"]["mem"]), sd["mem"][0])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["fe"]["stage2"]["conv24"]["kernel"]),
+        np.transpose(sd["stage2.1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["batch_stats"]["fe"]["dec1_1"]["BatchNorm_0"]["mean"]),
+        sd["dec1.1.bn.running_mean"])
+    dc, c = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(dc)).all()
+
+
+def test_joint_pair_pth_checkpoints(tmp_path):
+    """stb_joint.yml-style checkpoint: [gen.pth, reg.pth] — both convert
+    through the trainer's pair branch."""
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    rng = np.random.default_rng(35)
+    gen_sd = synth_generator_sd(rng)
+    reg_sd = synth_regressor_m_sd(rng)
+    gp, rp = tmp_path / "gen.pth", tmp_path / "reg.pth"
+    torch.save({k: torch.tensor(v) for k, v in gen_sd.items()}, gp)
+    torch.save({k: torch.tensor(v) for k, v in reg_sd.items()}, rp)
+
+    cfg = Config.from_dict({
+        "seed": 0, "version": "pair_pth", "log_para": 1000,
+        "patch_size": 1440, "mode": "joint", "num_epochs": 1,
+        "checkpoint": [str(gp), str(rp)],
+        "model": {"name": "dgnet", "params": {}},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+        "compute_dtype": "float32", "log_dir": str(tmp_path / "logs"),
+    })
+    t = DGTrainer(cfg)
+    t.build()
+    t.load_ckpt(cfg.checkpoint)
+    np.testing.assert_array_equal(
+        np.asarray(t.state.params["memory"]["mem"]), reg_sd["mem"][0])
+    np.testing.assert_array_equal(
+        np.asarray(t.gen_state.params["dec0"]["Conv_0"]["kernel"]),
+        np.transpose(gen_sd["dec.0.conv.weight"], (2, 3, 1, 0)))
