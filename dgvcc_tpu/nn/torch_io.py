@@ -691,6 +691,9 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
     models2 Generator ('gen') and DensityRegressorM ('reg_mem', mode
     regression/joint). Raises with the supported list otherwise.
     """
+    from dgvcc_tpu.models.baselines.bl_vgg import BLVGG
+    from dgvcc_tpu.models.baselines.csrnet import CSRNet
+    from dgvcc_tpu.models.baselines.mcnn import MCNN
     from dgvcc_tpu.models.dg import DGModel
     from dgvcc_tpu.models.regressors import DensityRegressorM, Generator
 
@@ -700,10 +703,17 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
         p, s = generator_checkpoint_to_flax(sd)
     elif isinstance(model, DensityRegressorM):
         p, s = regressor_m_checkpoint_to_flax(sd)
+    elif isinstance(model, CSRNet):
+        p, s = csrnet_checkpoint_to_flax(sd)
+    elif isinstance(model, MCNN):
+        p, s = mcnn_checkpoint_to_flax(sd)
+    elif isinstance(model, BLVGG):
+        p, s = bl_checkpoint_to_flax(sd, batch_norm=model.batch_norm)
     else:
         raise ValueError(
-            ".pth checkpoint conversion supports the DG family, 'gen' "
-            f"and 'reg_mem'; got {type(model).__name__}")
+            ".pth checkpoint conversion supports the DG family, 'gen', "
+            "'reg_mem', 'csrnet', 'mcnn' and 'bl'; got "
+            f"{type(model).__name__}")
     have = set(variables["params"])
     missing = have - set(p)
     if missing:
@@ -713,3 +723,72 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
     for name in p:
         out = graft(out, (name,), p[name], s.get(name, {}))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Classic-baseline trained checkpoints
+# ---------------------------------------------------------------------------
+
+def _plain_stack_to_flax(sd: Dict[str, np.ndarray], prefix: str, cfg
+                         ) -> Dict:
+    """A make_layers-style Sequential (conv+ReLU per entry, 'M' pools) →
+    our _ConvStack conv{k} names (k counts convs only)."""
+    params: Dict = {}
+    seq = 0
+    k = 0
+    for v in cfg:
+        if v == "M":
+            seq += 1
+            continue
+        entry = {"kernel": conv_to_flax(sd[f"{prefix}.{seq}.weight"])}
+        if f"{prefix}.{seq}.bias" in sd:
+            entry["bias"] = sd[f"{prefix}.{seq}.bias"]
+        params[f"conv{k}"] = entry
+        seq += 2  # conv + ReLU
+        k += 1
+    return params
+
+
+def csrnet_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference CSRNet (baselines/CSRNet.py:10-44) →
+    models/baselines/csrnet.py (frontend/backend _ConvStacks)."""
+    from dgvcc_tpu.models.baselines.csrnet import BACKEND, FRONTEND
+
+    params = {
+        "frontend": _plain_stack_to_flax(sd, "frontend", FRONTEND),
+        "backend": _plain_stack_to_flax(sd, "backend", BACKEND),
+        "output_layer": {"kernel": conv_to_flax(sd["output_layer.weight"]),
+                         "bias": sd["output_layer.bias"]},
+    }
+    return params, {}
+
+
+def mcnn_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference MCNN (baselines/MCNN.py:7-75): branch Sequential
+    conv positions 0/3/6/8 → our branch{n}/conv{0..3}; fuse.0 → fuse."""
+    params: Dict = {}
+    for b in ("branch1", "branch2", "branch3"):
+        params[b] = {}
+        for k, seq in enumerate((0, 3, 6, 8)):
+            params[b][f"conv{k}"] = {
+                "kernel": conv_to_flax(sd[f"{b}.{seq}.weight"]),
+                "bias": sd[f"{b}.{seq}.bias"],
+            }
+    params["fuse"] = {"kernel": conv_to_flax(sd["fuse.0.weight"]),
+                      "bias": sd["fuse.0.bias"]}
+    return params, {}
+
+
+def bl_checkpoint_to_flax(sd: Dict[str, np.ndarray], batch_norm: bool = False
+                          ) -> Tuple[Dict, Dict]:
+    """Trained reference BL-VGG (baselines/BL.py:11-56): torchvision-
+    indexed features + reg_layer.{0,2,4} → features/conv{i}, reg{1,2,3}."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    p, s = vgg_features_to_flax(sd, VGG19_CFG, batch_norm)
+    params: Dict = {"features": p}
+    stats: Dict = {"features": s} if s else {}
+    for our, seq in (("reg1", 0), ("reg2", 2), ("reg3", 4)):
+        params[our] = {"kernel": conv_to_flax(sd[f"reg_layer.{seq}.weight"]),
+                       "bias": sd[f"reg_layer.{seq}.bias"]}
+    return params, stats

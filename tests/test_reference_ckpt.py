@@ -233,8 +233,8 @@ def test_pth_drives_trainer_and_serve(tmp_path, converted):
     np.testing.assert_array_equal(
         np.asarray(t.state.params["memory"]["mem"]), sd["mem"][0])
 
-    t2 = make_trainer({"name": "csrnet", "params": {"pretrained": False}})
-    with pytest.raises(ValueError, match="DG family"):
+    t2 = make_trainer({"name": "sasnet", "params": {"pretrained": False}})
+    with pytest.raises(ValueError, match="conversion supports"):
         t2.load_ckpt(str(pth))
 
 
@@ -403,3 +403,97 @@ def test_joint_pair_pth_checkpoints(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(t.gen_state.params["dec0"]["Conv_0"]["kernel"]),
         np.transpose(gen_sd["dec.0.conv.weight"], (2, 3, 1, 0)))
+
+
+# ---- classic baselines ----------------------------------------------------
+
+def test_csrnet_checkpoint_converts_and_runs():
+    from dgvcc_tpu.models.baselines.csrnet import BACKEND, FRONTEND
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(41)
+    sd = {}
+    prev = 3
+    for prefix, cfg, dil in (("frontend", FRONTEND, 1), ("backend", BACKEND, 2)):
+        seq = 0
+        for v in cfg:
+            if v == "M":
+                seq += 1
+                continue
+            _mk_conv(sd, f"{prefix}.{seq}", prev, v, bias=True, rng=rng)
+            prev = v
+            seq += 2
+    _mk_conv(sd, "output_layer", 64, 1, k=1, bias=True, rng=rng)
+
+    model = MODELS.build("csrnet")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]) == set(v["params"])
+    # frontend conv2 is the 3rd conv = cfg (64,64,M,128,...) seq index 5
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["frontend"]["conv2"]["kernel"]),
+        np.transpose(sd["frontend.5.weight"], (2, 3, 1, 0)))
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mcnn_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(43)
+    sd = {}
+    specs = {"branch1": ((16, 9), (32, 7), (16, 7), (8, 7)),
+             "branch2": ((20, 7), (40, 5), (20, 5), (10, 5)),
+             "branch3": ((24, 5), (48, 3), (24, 3), (12, 3))}
+    for b, chain in specs.items():
+        prev = 3
+        for (c, k), seq in zip(chain, (0, 3, 6, 8)):
+            _mk_conv(sd, f"{b}.{seq}", prev, c, k=k, bias=True, rng=rng)
+            prev = c
+    _mk_conv(sd, "fuse.0", 30, 1, k=1, bias=True, rng=rng)
+
+    model = MODELS.build("mcnn")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["branch2"]["conv1"]["kernel"]),
+        np.transpose(sd["branch2.3.weight"], (2, 3, 1, 0)))
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bl_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    rng = np.random.default_rng(45)
+    sd = {}
+    prev = 3
+    for kind, idx, arg in feature_layout(VGG19_CFG, False):
+        if idx >= len(VGG19_CFG) and False:
+            break
+        if kind == "conv":
+            _mk_conv(sd, f"features.{idx}", prev, arg, bias=True, rng=rng)
+            prev = arg
+    _mk_conv(sd, "reg_layer.0", 512, 256, bias=True, rng=rng)
+    _mk_conv(sd, "reg_layer.2", 256, 128, bias=True, rng=rng)
+    _mk_conv(sd, "reg_layer.4", 128, 1, k=1, bias=True, rng=rng)
+
+    model = MODELS.build("bl")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["reg2"]["kernel"]),
+        np.transpose(sd["reg_layer.2.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["features"]["conv10"]["bias"]),
+        sd["features.10.bias"])
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    out = np.asarray(out)
+    assert np.isfinite(out).all() and (out >= 0).all()  # |abs| head
