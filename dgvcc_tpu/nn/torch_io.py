@@ -696,6 +696,9 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
     from dgvcc_tpu.models.baselines.mcnn import MCNN
     from dgvcc_tpu.models.dg import DGModel
     from dgvcc_tpu.models.regressors import DensityRegressorM, Generator
+    from dgvcc_tpu.models.whitening import (
+        IBNCounterResNet, ISWCounterResNet, SWCounterResNet)
+    from dgvcc_tpu.nn.resnet import RESNET_LAYERS
 
     if isinstance(model, DGModel):
         return load_reference_dg_checkpoint(variables, sd)
@@ -709,11 +712,20 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
         p, s = mcnn_checkpoint_to_flax(sd)
     elif isinstance(model, BLVGG):
         p, s = bl_checkpoint_to_flax(sd, batch_norm=model.batch_norm)
+    elif isinstance(model, SWCounterResNet):
+        p, s = sw_counter_checkpoint_to_flax(
+            sd, layers=tuple(model.layers or RESNET_LAYERS[model.depth])[:3])
+    elif isinstance(model, IBNCounterResNet):
+        p, s = ibn_counter_checkpoint_to_flax(
+            sd, layers=tuple(model.layers or RESNET_LAYERS[model.depth])[:3])
+    elif isinstance(model, ISWCounterResNet):
+        p, s = isw_counter_checkpoint_to_flax(sd,
+                                              layers=tuple(model.layers)[:3])
     else:
         raise ValueError(
             ".pth checkpoint conversion supports the DG family, 'gen', "
-            "'reg_mem', 'csrnet', 'mcnn' and 'bl'; got "
-            f"{type(model).__name__}")
+            "'reg_mem', 'csrnet', 'mcnn', 'bl', 'sw', 'ibn' and 'isw'; "
+            f"got {type(model).__name__}")
     have = set(variables["params"])
     missing = have - set(p)
     if missing:
@@ -791,4 +803,123 @@ def bl_checkpoint_to_flax(sd: Dict[str, np.ndarray], batch_norm: bool = False
     for our, seq in (("reg1", 0), ("reg2", 2), ("reg3", 4)):
         params[our] = {"kernel": conv_to_flax(sd[f"reg_layer.{seq}.weight"]),
                        "bias": sd[f"reg_layer.{seq}.bias"]}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Whitening-counter trained checkpoints (SW / IBN / ISW)
+# ---------------------------------------------------------------------------
+
+def _bn_site(sd: Dict[str, np.ndarray], pref: str) -> Tuple[Dict, Dict]:
+    return ({"scale": sd[f"{pref}.weight"], "bias": sd[f"{pref}.bias"]},
+            {"mean": sd[f"{pref}.running_mean"],
+             "var": sd[f"{pref}.running_var"]})
+
+
+def _sw_site(sd: Dict[str, np.ndarray], pref: str) -> Tuple[Dict, Dict]:
+    """SwitchWhiten params/buffers carry the reference's own names
+    (SW/ops/switchwhiten.py:47-63 = nn/whitening.py) — verbatim copy."""
+    p = {"sw_mean_weight": sd[f"{pref}.sw_mean_weight"],
+         "weight": sd[f"{pref}.weight"], "bias": sd[f"{pref}.bias"]}
+    if f"{pref}.sw_var_weight" in sd:
+        p["sw_var_weight"] = sd[f"{pref}.sw_var_weight"]
+    s = {"running_mean": np.asarray(sd[f"{pref}.running_mean"], np.float32),
+         "running_cov": np.asarray(sd[f"{pref}.running_cov"], np.float32)}
+    return p, s
+
+
+def _bottleneck_to_flax(sd: Dict[str, np.ndarray], pref: str,
+                        sw2: bool = False, post_in: bool = False
+                        ) -> Tuple[Dict, Dict]:
+    """One torch Bottleneck → our nn/resnet.py Bottleneck names."""
+    p: Dict = {}
+    s: Dict = {}
+    for j in (1, 2, 3):
+        p[f"conv{j}"] = {"kernel": conv_to_flax(sd[f"{pref}.conv{j}.weight"])}
+        if sw2 and j == 2:  # build_norm_layer names the SW site 'sw2'
+            p["bn2"], s["bn2"] = _sw_site(sd, f"{pref}.sw2")
+        else:
+            p[f"bn{j}"], s[f"bn{j}"] = _bn_site(sd, f"{pref}.bn{j}")
+    if f"{pref}.downsample.0.weight" in sd:
+        p["downsample_conv"] = {
+            "kernel": conv_to_flax(sd[f"{pref}.downsample.0.weight"])}
+        p["downsample_bn"], s["downsample_bn"] = _bn_site(
+            sd, f"{pref}.downsample.1")
+    if post_in and f"{pref}.IN.weight" in sd:
+        # post-residual IN(affine) — resnet_ibn.py:80,103-104
+        p["post_in"] = {"scale": sd[f"{pref}.IN.weight"],
+                        "bias": sd[f"{pref}.IN.bias"]}
+    return p, s
+
+
+def _counting_head_to_flax(sd: Dict[str, np.ndarray], prefix: str = "head"
+                           ) -> Dict:
+    """3-conv head Sequential (convs at 0/2/4) → head/conv{1,2,3}."""
+    return {f"conv{k}": {"kernel": conv_to_flax(sd[f"{prefix}.{seq}.weight"]),
+                         "bias": sd[f"{prefix}.{seq}.bias"]}
+            for k, seq in ((1, 0), (2, 2), (3, 4))}
+
+
+def sw_counter_checkpoint_to_flax(sd: Dict[str, np.ndarray],
+                                  layers=(3, 4, 6)) -> Tuple[Dict, Dict]:
+    """Trained reference SWCounter_ResNet (SW/__init__.py:24-42):
+    backbone Sequential children[:7] (0=conv1, 1=SW stem 'sw1',
+    4..6=layer1..3 with SW as norm2 of odd non-first blocks,
+    SW/backbones/resnet.py:204-210) + 3-conv head."""
+    params: Dict = {"backbone": {}, "head": _counting_head_to_flax(sd)}
+    stats: Dict = {"backbone": {}}
+    params["backbone"]["conv1"] = {
+        "kernel": conv_to_flax(sd["backbone.0.weight"])}
+    params["backbone"]["bn1"], stats["backbone"]["bn1"] = _sw_site(
+        sd, "backbone.1")
+    for k, n in enumerate(layers):
+        for i in range(n):
+            sw2 = i != 0 and i % 2 == 1
+            p, s = _bottleneck_to_flax(sd, f"backbone.{4 + k}.{i}", sw2=sw2)
+            params["backbone"][f"layer{k + 1}_{i}"] = p
+            stats["backbone"][f"layer{k + 1}_{i}"] = s
+    return params, stats
+
+
+def ibn_counter_checkpoint_to_flax(sd: Dict[str, np.ndarray],
+                                   layers=(3, 4, 6)) -> Tuple[Dict, Dict]:
+    """Trained reference IBNCounter_ResNet (ibnnet/__init__.py:11-28):
+    resnet50_ibn_b children[:7] — IN(affine) stem (resnet_ibn.py:122),
+    post-residual IN in the LAST block of stages 1-2
+    (resnet_ibn.py:153-158) — + 3-conv head."""
+    params: Dict = {"backbone": {}, "head": _counting_head_to_flax(sd)}
+    stats: Dict = {"backbone": {}}
+    params["backbone"]["conv1"] = {
+        "kernel": conv_to_flax(sd["backbone.0.weight"])}
+    # stem InstanceNorm2d(affine=True): weight/bias only, no running stats
+    params["backbone"]["bn1"] = {"scale": sd["backbone.1.weight"],
+                                 "bias": sd["backbone.1.bias"]}
+    for k, n in enumerate(layers):
+        for i in range(n):
+            post = k < 2 and i == n - 1
+            p, s = _bottleneck_to_flax(sd, f"backbone.{4 + k}.{i}",
+                                       post_in=post)
+            params["backbone"][f"layer{k + 1}_{i}"] = p
+            stats["backbone"][f"layer{k + 1}_{i}"] = s
+    return params, stats
+
+
+def isw_counter_checkpoint_to_flax(sd: Dict[str, np.ndarray],
+                                   layers=(3, 4, 6)) -> Tuple[Dict, Dict]:
+    """Trained reference ISWCounter_ResNet (ISW/__init__.py:21-122):
+    layer0 = Sequential(conv1, IW, relu, maxpool) — the IW sites
+    (wt_layer codes 2) are affine-free InstanceNorms with NO params
+    (ISW/instance_whitening.py) — layer1..3 plain bottlenecks, 3-conv
+    head. layer4 exists in the checkpoint but is unused (forward stops
+    at layer3); its keys are ignored. Everything lands under 'net'
+    (models/whitening.py::_ISWNet)."""
+    bb: Dict = {"conv1": {"kernel": conv_to_flax(sd["layer0.0.weight"])}}
+    sbb: Dict = {}
+    for k, n in enumerate(layers):
+        for i in range(n):
+            p, s = _bottleneck_to_flax(sd, f"layer{k + 1}.{i}")
+            bb[f"layer{k + 1}_{i}"] = p
+            sbb[f"layer{k + 1}_{i}"] = s
+    params = {"net": {"backbone": bb, "head": _counting_head_to_flax(sd)}}
+    stats = {"net": {"backbone": sbb}}
     return params, stats

@@ -497,3 +497,140 @@ def test_bl_checkpoint_converts_and_runs():
         rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
     out = np.asarray(out)
     assert np.isfinite(out).all() and (out >= 0).all()  # |abs| head
+
+
+# ---- whitening counters (sw / ibn / isw) ---------------------------------
+
+def _mk_bottlenecks(sd, stage_prefix, k, n_blocks, inplanes, rng,
+                    sw_odd=False, post_in_last=False):
+    """Synth torch Bottleneck stage k (planes 64*2^k) under
+    '{stage_prefix}.{i}.'; returns the stage's output channels."""
+    planes = 64 * (2 ** k)
+    for i in range(n_blocks):
+        pre = f"{stage_prefix}.{i}"
+        _mk_conv(sd, f"{pre}.conv1", inplanes if i == 0 else planes * 4,
+                 planes, k=1, rng=rng)
+        _mk_conv(sd, f"{pre}.conv2", planes, planes, k=3, rng=rng)
+        _mk_conv(sd, f"{pre}.conv3", planes, planes * 4, k=1, rng=rng)
+        _mk_bn(sd, f"{pre}.bn1", planes, rng)
+        if sw_odd and i != 0 and i % 2 == 1:
+            _mk_sw(sd, f"{pre}.sw2", planes, rng)
+        else:
+            _mk_bn(sd, f"{pre}.bn2", planes, rng)
+        _mk_bn(sd, f"{pre}.bn3", planes * 4, rng)
+        if i == 0:
+            _mk_conv(sd, f"{pre}.downsample.0", inplanes, planes * 4, k=1,
+                     rng=rng)
+            _mk_bn(sd, f"{pre}.downsample.1", planes * 4, rng)
+        if post_in_last and i == n_blocks - 1:
+            sd[f"{pre}.IN.weight"] = rng.uniform(0.5, 1.5, planes * 4).astype(np.float32)
+            sd[f"{pre}.IN.bias"] = rng.normal(0, 0.1, planes * 4).astype(np.float32)
+    return planes * 4
+
+
+def _mk_sw(sd, pre, c, rng, num_pergroup=16):
+    g = c // num_pergroup
+    sd[f"{pre}.sw_mean_weight"] = rng.uniform(0.5, 1.5, 2).astype(np.float32)
+    sd[f"{pre}.sw_var_weight"] = rng.uniform(0.5, 1.5, 2).astype(np.float32)
+    sd[f"{pre}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    sd[f"{pre}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+    sd[f"{pre}.running_mean"] = rng.normal(0, 0.1, (g, num_pergroup, 1)).astype(np.float32)
+    eye = np.eye(num_pergroup, dtype=np.float32)[None].repeat(g, axis=0)
+    sd[f"{pre}.running_cov"] = eye + rng.uniform(0, 0.05, (g, num_pergroup, num_pergroup)).astype(np.float32)
+
+
+def _mk_head(sd, rng, prefix="head"):
+    _mk_conv(sd, f"{prefix}.0", 1024, 512, bias=True, rng=rng)
+    _mk_conv(sd, f"{prefix}.2", 512, 256, bias=True, rng=rng)
+    _mk_conv(sd, f"{prefix}.4", 256, 1, k=1, bias=True, rng=rng)
+
+
+def test_sw_counter_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(61)
+    layers = (1, 2, 1)  # stage 2 has an odd block → exercises sw2
+    sd = {}
+    _mk_conv(sd, "backbone.0", 3, 64, k=7, rng=rng)
+    _mk_sw(sd, "backbone.1", 64, rng)
+    inp = 64
+    for k, n in enumerate(layers):
+        inp = _mk_bottlenecks(sd, f"backbone.{4 + k}", k, n, inp, rng,
+                              sw_odd=True)
+    # the reference head consumes layer3 output (1024 for resnet50); the
+    # tiny-geometry head keeps the real channel plan
+    _mk_head(sd, rng)
+
+    model = MODELS.build("sw", layers=layers)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]["backbone"]) == set(v["params"]["backbone"])
+    # the odd block's SW site landed verbatim
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["backbone"]["layer2_1"]["bn2"]["sw_mean_weight"]),
+        sd["backbone.5.1.sw2.sw_mean_weight"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["batch_stats"]["backbone"]["bn1"]["running_cov"]),
+        sd["backbone.1.running_cov"])
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ibn_counter_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(63)
+    layers = (2, 1, 1)
+    sd = {}
+    _mk_conv(sd, "backbone.0", 3, 64, k=7, rng=rng)
+    sd["backbone.1.weight"] = rng.uniform(0.5, 1.5, 64).astype(np.float32)
+    sd["backbone.1.bias"] = rng.normal(0, 0.1, 64).astype(np.float32)
+    inp = 64
+    for k, n in enumerate(layers):
+        inp = _mk_bottlenecks(sd, f"backbone.{4 + k}", k, n, inp, rng,
+                              post_in_last=(k < 2))
+    _mk_head(sd, rng)
+
+    model = MODELS.build("ibn", layers=layers)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]["backbone"]) == set(v["params"]["backbone"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["backbone"]["layer1_1"]["post_in"]["scale"]),
+        sd["backbone.4.1.IN.weight"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["backbone"]["bn1"]["scale"]),
+        sd["backbone.1.weight"])
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_isw_counter_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(65)
+    layers = (1, 1, 1)
+    sd = {}
+    _mk_conv(sd, "layer0.0", 3, 64, k=7, rng=rng)
+    inp = 64
+    for k, n in enumerate(layers):
+        inp = _mk_bottlenecks(sd, f"layer{k + 1}", k, n, inp, rng)
+    # unused layer4 keys must be ignored, like the reference forward
+    _mk_bottlenecks(sd, "layer4", 3, 1, inp, rng)
+    _mk_head(sd, rng)
+
+    model = MODELS.build("isw", layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]["net"]["backbone"]) == set(v["params"]["net"]["backbone"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["net"]["backbone"]["layer2_0"]["conv2"]["kernel"]),
+        np.transpose(sd["layer2.0.conv2.weight"], (2, 3, 1, 0)))
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
