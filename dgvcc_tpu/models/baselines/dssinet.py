@@ -118,6 +118,11 @@ class DSSINet(nn.Module):
         self.stage2 = _Stage((128, 128), dtype=d)
         self.stage3 = _Stage((256, 256, 256), dtype=d)
         self.stage4 = _Stage((512, 512, 512), dtype=d)
+        # reference 'relu3'/'relu22' PReLUs: applied only where the
+        # reference's sub_forward slices include them (DSSINet.py:345-399
+        # — scale1's 0->7 chain crosses relu3; scale3's conv4_3 slice
+        # ends at relu22)
+        self.stage1_act = PReLU()
         self.stage4_act = PReLU()
 
         self.passing1 = MessagePassing(2, dtype=d)
@@ -134,10 +139,9 @@ class DSSINet(nn.Module):
         self.pw2 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=d)
         self.pw3 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=d)
         self.pw4 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=d)
-        self.out_prelu1 = PReLU()
-        self.out_prelu2 = PReLU()
-        self.out_prelu3 = PReLU()
-        self.out_prelu4 = PReLU()
+        # ONE shared output PReLU like the reference's self.prelu
+        # (DSSINet.py:341,408-411)
+        self.out_prelu = PReLU()
 
     def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
@@ -146,7 +150,9 @@ class DSSINet(nn.Module):
         s3 = _resize(x, (h // 2, w // 2))  # x0.5
 
         # staged shared-front-end with cross-scale passing (DSSINet.py:365-397)
-        f1_c2 = self.stage2(self.stage1(s1))
+        # scale1's chain crosses the reference's relu3 (sub_forward
+        # '0'->'7' includes it); the passing inputs stay pre-activation
+        f1_c2 = self.stage2(self.stage1_act(self.stage1(s1)))
         f2_c1 = self.stage1(s2)
         f1_c2, f2_c1 = self.passing1([f1_c2, f2_c1])
         agg4 = jnp.concatenate([f1_c2, f2_c1], axis=-1)
@@ -170,9 +176,9 @@ class DSSINet(nn.Module):
 
         f3_c4 = self.stage4_act(self.stage4(f3_c3))
 
-        dens1 = self.out_prelu1(self.decoder1(f3_c4))
-        dens2 = self.out_prelu2(self.decoder2(agg1) + self.pw1(upsample(dens1, 2)))
-        dens3 = self.out_prelu3(self.decoder3(agg2) + self.pw2(upsample(dens2, 2)))
-        dens4 = self.out_prelu4(self.decoder4(agg3) + self.pw3(upsample(dens3, 2)))
+        dens1 = self.out_prelu(self.decoder1(f3_c4))
+        dens2 = self.out_prelu(self.decoder2(agg1) + self.pw1(upsample(dens1, 2)))
+        dens3 = self.out_prelu(self.decoder3(agg2) + self.pw2(upsample(dens2, 2)))
+        dens4 = self.out_prelu(self.decoder4(agg3) + self.pw3(upsample(dens3, 2)))
         dens5 = nn.relu(self.decoder5(agg4) + self.pw4(upsample(dens4, 2)))
         return dens5

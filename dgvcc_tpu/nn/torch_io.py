@@ -692,40 +692,58 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
     regression/joint). Raises with the supported list otherwise.
     """
     from dgvcc_tpu.models.baselines.bl_vgg import BLVGG
+    from dgvcc_tpu.models.baselines.cctrans import ALTGVT
     from dgvcc_tpu.models.baselines.csrnet import CSRNet
+    from dgvcc_tpu.models.baselines.dssinet import DSSINet
     from dgvcc_tpu.models.baselines.mcnn import MCNN
+    from dgvcc_tpu.models.baselines.sasnet import SASNet
     from dgvcc_tpu.models.dg import DGModel
     from dgvcc_tpu.models.regressors import DensityRegressorM, Generator
     from dgvcc_tpu.models.whitening import (
         IBNCounterResNet, ISWCounterResNet, SWCounterResNet)
     from dgvcc_tpu.nn.resnet import RESNET_LAYERS
 
-    if isinstance(model, DGModel):
-        return load_reference_dg_checkpoint(variables, sd)
-    if isinstance(model, Generator):
-        p, s = generator_checkpoint_to_flax(sd)
-    elif isinstance(model, DensityRegressorM):
-        p, s = regressor_m_checkpoint_to_flax(sd)
-    elif isinstance(model, CSRNet):
-        p, s = csrnet_checkpoint_to_flax(sd)
-    elif isinstance(model, MCNN):
-        p, s = mcnn_checkpoint_to_flax(sd)
-    elif isinstance(model, BLVGG):
-        p, s = bl_checkpoint_to_flax(sd, batch_norm=model.batch_norm)
-    elif isinstance(model, SWCounterResNet):
-        p, s = sw_counter_checkpoint_to_flax(
-            sd, layers=tuple(model.layers or RESNET_LAYERS[model.depth])[:3])
-    elif isinstance(model, IBNCounterResNet):
-        p, s = ibn_counter_checkpoint_to_flax(
-            sd, layers=tuple(model.layers or RESNET_LAYERS[model.depth])[:3])
-    elif isinstance(model, ISWCounterResNet):
-        p, s = isw_counter_checkpoint_to_flax(sd,
-                                              layers=tuple(model.layers)[:3])
-    else:
+    try:
+        if isinstance(model, DGModel):
+            return load_reference_dg_checkpoint(variables, sd)
+        if isinstance(model, Generator):
+            p, s = generator_checkpoint_to_flax(sd)
+        elif isinstance(model, DensityRegressorM):
+            p, s = regressor_m_checkpoint_to_flax(sd)
+        elif isinstance(model, CSRNet):
+            p, s = csrnet_checkpoint_to_flax(sd)
+        elif isinstance(model, MCNN):
+            p, s = mcnn_checkpoint_to_flax(sd)
+        elif isinstance(model, BLVGG):
+            p, s = bl_checkpoint_to_flax(sd, batch_norm=model.batch_norm)
+        elif isinstance(model, SWCounterResNet):
+            p, s = sw_counter_checkpoint_to_flax(
+                sd,
+                layers=tuple(model.layers or RESNET_LAYERS[model.depth])[:3])
+        elif isinstance(model, IBNCounterResNet):
+            p, s = ibn_counter_checkpoint_to_flax(
+                sd,
+                layers=tuple(model.layers or RESNET_LAYERS[model.depth])[:3])
+        elif isinstance(model, ISWCounterResNet):
+            p, s = isw_counter_checkpoint_to_flax(
+                sd, layers=tuple(model.layers)[:3])
+        elif isinstance(model, SASNet):
+            p, s = sasnet_checkpoint_to_flax(sd)
+        elif isinstance(model, ALTGVT):
+            p, s = cctrans_checkpoint_to_flax(sd)
+        elif isinstance(model, DSSINet):
+            p, s = dssinet_checkpoint_to_flax(sd)
+        else:
+            raise ValueError(
+                ".pth checkpoint conversion supports every reference "
+                "model family: the DG variants, 'gen', 'reg_mem', "
+                "'csrnet', 'mcnn', 'bl', 'sw', 'ibn', 'isw', 'sasnet', "
+                f"'cctrans', 'dssinet'; got {type(model).__name__}")
+    except KeyError as e:
         raise ValueError(
-            ".pth checkpoint conversion supports the DG family, 'gen', "
-            "'reg_mem', 'csrnet', 'mcnn', 'bl', 'sw', 'ibn' and 'isw'; "
-            f"got {type(model).__name__}")
+            f"checkpoint does not match a {type(model).__name__} state "
+            f"dict: missing key {e} — wrong model family for this .pth?"
+        ) from e
     have = set(variables["params"])
     missing = have - set(p)
     if missing:
@@ -923,3 +941,165 @@ def isw_counter_checkpoint_to_flax(sd: Dict[str, np.ndarray],
     params = {"net": {"backbone": bb, "head": _counting_head_to_flax(sd)}}
     stats = {"net": {"backbone": sbb}}
     return params, stats
+
+
+def sasnet_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference SASNet (baselines/SASNet.py:47-214) → our
+    models/baselines/sasnet.py auto-named modules.
+
+    Order contracts (deterministic on both sides):
+      * de_pred5..de_pred1, two convs each → ConvRelu_0..ConvRelu_9;
+      * per scale i (5..1): density_head{n}.0 MultiBranchModule (branch
+        call order 1x1, 1x1_1, 3x3_1, 3x3_2, 3x3dbl_1, 3x3dbl_2) →
+        MultiBranch_{i}/BasicConv_{0..5}; density_head{n}.1 → Conv_{i};
+        confidence_head{n}.{0,1} → ConvRelu_{10+2i}, ConvRelu_{11+2i};
+      * features1..5 are vgg16_bn Sequential slices with local indices.
+    """
+    from dgvcc_tpu.nn.vgg import VGG16_CFG
+
+    params: Dict = {}
+    stats: Dict = {}
+    splits = (("features1", 0, 6), ("features2", 6, 13),
+              ("features3", 13, 23), ("features4", 23, 33),
+              ("features5", 33, 43))
+    for st, lo, hi in splits:
+        sub = {}
+        pref = st + "."
+        for k, v in sd.items():
+            if k.startswith(pref):
+                loc, rest = k[len(pref):].split(".", 1)
+                sub[f"{int(loc) + lo}.{rest}"] = v
+        p, s = vgg_features_to_flax(sub, VGG16_CFG, True, lo, hi,
+                                    key_prefix="")
+        params[st], stats[st] = p, s
+
+    def plain_conv(pref):
+        out = {"kernel": conv_to_flax(sd[f"{pref}.weight"])}
+        if f"{pref}.bias" in sd:
+            out["bias"] = sd[f"{pref}.bias"]
+        return out
+
+    cr = 0
+    for n in (5, 4, 3, 2, 1):
+        for j in (0, 1):
+            params[f"ConvRelu_{cr}"] = {"Conv_0": plain_conv(f"de_pred{n}.{j}.conv")}
+            cr += 1
+
+    branches = ("branch1x1", "branch1x1_1", "branch3x3_1", "branch3x3_2",
+                "branch3x3dbl_1", "branch3x3dbl_2")
+    for i, n in enumerate((5, 4, 3, 2, 1)):
+        mb_p: Dict = {}
+        mb_s: Dict = {}
+        for b, br in enumerate(branches):
+            pref = f"density_head{n}.0.{br}"
+            mb_p[f"BasicConv_{b}"] = {
+                "Conv_0": {"kernel": conv_to_flax(sd[f"{pref}.conv.weight"])},
+                "BatchNorm_0": {"scale": sd[f"{pref}.bn.weight"],
+                                "bias": sd[f"{pref}.bn.bias"]},
+            }
+            mb_s[f"BasicConv_{b}"] = {"BatchNorm_0": {
+                "mean": sd[f"{pref}.bn.running_mean"],
+                "var": sd[f"{pref}.bn.running_var"]}}
+        params[f"MultiBranch_{i}"] = mb_p
+        stats[f"MultiBranch_{i}"] = mb_s
+        params[f"Conv_{i}"] = plain_conv(f"density_head{n}.1.conv")
+        params[f"ConvRelu_{10 + 2 * i}"] = {
+            "Conv_0": plain_conv(f"confidence_head{n}.0.conv")}
+        params[f"ConvRelu_{11 + 2 * i}"] = {
+            "Conv_0": plain_conv(f"confidence_head{n}.1.conv")}
+    return params, stats
+
+
+# reference Regression head conv/bn Sequential indices → our names
+# (CCTrans.py:16-61; v2/v3 lead with a weightless Upsample)
+_CCTRANS_REG_MAP = (("v1", 0), ("v2", 1), ("v3", 1), ("stage1", 0),
+                    ("stage2", 0), ("stage3", 0), ("stage4", 0))
+
+
+def cctrans_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference CCTrans / alt_gvt_base (CCTrans.py:426,485-540):
+    Twins backbone via altgvt_to_flax + the Regression head
+    (regression.{v1,v2,v3,stage1..4,res}); the unused ImageNet
+    classifier (norm/head) is ignored."""
+    params, _ = altgvt_to_flax(sd)
+    reg_p: Dict = {}
+    reg_s: Dict = {}
+    for name, ci in _CCTRANS_REG_MAP:
+        pref = f"regression.{name}"
+        reg_p[f"{name}_conv"] = {
+            "kernel": conv_to_flax(sd[f"{pref}.{ci}.weight"]),
+            "bias": sd[f"{pref}.{ci}.bias"]}
+        reg_p[f"{name}_bn"] = {"scale": sd[f"{pref}.{ci + 1}.weight"],
+                               "bias": sd[f"{pref}.{ci + 1}.bias"]}
+        reg_s[f"{name}_bn"] = {"mean": sd[f"{pref}.{ci + 1}.running_mean"],
+                               "var": sd[f"{pref}.{ci + 1}.running_var"]}
+    reg_p["res1_conv"] = {"kernel": conv_to_flax(sd["regression.res.0.weight"]),
+                          "bias": sd["regression.res.0.bias"]}
+    reg_p["res1_bn"] = {"scale": sd["regression.res.1.weight"],
+                        "bias": sd["regression.res.1.bias"]}
+    reg_s["res1_bn"] = {"mean": sd["regression.res.1.running_mean"],
+                        "var": sd["regression.res.1.running_var"]}
+    reg_p["res2"] = {"kernel": conv_to_flax(sd["regression.res.3.weight"]),
+                     "bias": sd["regression.res.3.bias"]}
+    params["regression"] = reg_p
+    return params, {"regression": reg_s}
+
+
+# DSSINet front_end.features conv/prelu names per stage (make_layers
+# naming, DSSINet.py:176-219, cfg 'F'): conv indices / PReLU 'relu{i}'
+_DSSI_STAGES = (
+    ("stage1", ("0", "2"), ("relu1",)),
+    ("stage2", ("5", "7"), ("relu6",)),
+    ("stage3", ("10", "12", "14"), ("relu11", "relu13")),
+    ("stage4", ("17", "19", "21"), ("relu18", "relu20")),
+)
+
+
+def dssinet_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference DSSINet/CRFVGG (DSSINet.py:285-417) → our
+    models/baselines/dssinet.py.
+
+    Stage convs keep the make_layers indices; the stage-final PReLUs
+    map to the sites the reference forward actually crosses (relu3 →
+    stage1_act in the scale1 chain, relu22 → stage4_act; relu8/relu15
+    are dead in the reference forward and are skipped). The shared
+    output PReLU and the per-passing PReLUs copy directly.
+    """
+    fe = "front_end.features"
+    params: Dict = {}
+
+    def conv(pref):
+        out = {"kernel": conv_to_flax(sd[f"{pref}.weight"])}
+        if f"{pref}.bias" in sd:
+            out["bias"] = sd[f"{pref}.bias"]
+        return out
+
+    def alpha(pref):
+        return {"alpha": np.asarray(sd[f"{pref}.weight"]).reshape(1)}
+
+    for st, convs, prelus in _DSSI_STAGES:
+        p: Dict = {}
+        for i, idx in enumerate(convs):
+            p[f"conv{i}"] = conv(f"{fe}.{idx}")
+        for i, name in enumerate(prelus):
+            p[f"prelu{i}"] = alpha(f"{fe}.{name}")
+        params[st] = p
+    params["stage1_act"] = alpha(f"{fe}.relu3")
+    params["stage4_act"] = alpha(f"{fe}.relu22")
+
+    for k, n in ((1, 2), (2, 3), (3, 3), (4, 2)):
+        p = {"prelu": alpha(f"passing{k}.prelu")}
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                p[f"w_0_{j}_{i}_0"] = conv(f"passing{k}.w_0_{j}_{i}_0.0")
+        params[f"passing{k}"] = p
+
+    for k in range(1, 6):
+        params[f"decoder{k}"] = {"c1": conv(f"decoder{k}.0.conv"),
+                                 "c2": conv(f"decoder{k}.1.conv")}
+    for k in range(1, 5):
+        params[f"pw{k}"] = conv(f"passing_weight{k}.conv")
+    params["out_prelu"] = alpha("prelu")
+    return params, {}

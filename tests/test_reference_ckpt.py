@@ -233,8 +233,9 @@ def test_pth_drives_trainer_and_serve(tmp_path, converted):
     np.testing.assert_array_equal(
         np.asarray(t.state.params["memory"]["mem"]), sd["mem"][0])
 
+    # wrong-family .pth fails loudly with a diagnosable message
     t2 = make_trainer({"name": "sasnet", "params": {"pretrained": False}})
-    with pytest.raises(ValueError, match="conversion supports"):
+    with pytest.raises(ValueError, match="does not match"):
         t2.load_ckpt(str(pth))
 
 
@@ -631,6 +632,210 @@ def test_isw_counter_checkpoint_converts_and_runs():
     np.testing.assert_array_equal(
         np.asarray(v2["params"]["net"]["backbone"]["layer2_0"]["conv2"]["kernel"]),
         np.transpose(sd["layer2.0.conv2.weight"], (2, 3, 1, 0)))
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ---- SASNet / CCTrans ----------------------------------------------------
+
+def test_sasnet_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(71)
+    sd = {}
+    # shared vgg16_bn stages, Sequential-local keys
+    prev = 3
+    for st, lo, hi in (("features1", 0, 6), ("features2", 6, 13),
+                       ("features3", 13, 23), ("features4", 23, 33),
+                       ("features5", 33, 43)):
+        for kind, idx, arg in feature_layout(VGG16_CFG, True):
+            if not (lo <= idx < hi):
+                continue
+            loc = idx - lo
+            if kind == "conv":
+                _mk_conv(sd, f"{st}.{loc}", prev, arg, bias=True, rng=rng)
+                prev = arg
+            elif kind == "bn":
+                _mk_bn(sd, f"{st}.{loc}", arg, rng)
+    # de_pred chains (conv+bias, no bn)
+    de_plan = {5: (512, 1024, 512), 4: (1024, 512, 256),
+               3: (512, 256, 128), 2: (256, 128, 64), 1: (128, 64, 64)}
+    for n, (cin, mid, cout) in de_plan.items():
+        _mk_conv(sd, f"de_pred{n}.0.conv", cin, mid, bias=True, rng=rng)
+        _mk_conv(sd, f"de_pred{n}.1.conv", mid, cout, bias=True, rng=rng)
+    # heads per scale: MultiBranchModule(c) + 1x1 density conv; conf pair
+    mb_c = {5: 512, 4: 256, 3: 128, 2: 64, 1: 64}
+    conf_mid = {5: 256, 4: 128, 3: 64, 2: 32, 1: 32}
+    branch_specs = (("branch1x1", 1, False), ("branch1x1_1", 1, True),
+                    ("branch3x3_1", 1, False), ("branch3x3_2", 3, True),
+                    ("branch3x3dbl_1", 1, False), ("branch3x3dbl_2", 5, True))
+    for n, c in mb_c.items():
+        for br, k, full in branch_specs:
+            cin = c if not full else c // 2
+            cout = c if full else c // 2
+            _mk_conv(sd, f"density_head{n}.0.{br}.conv", cin, cout, k=k,
+                     rng=rng)
+            _mk_bn(sd, f"density_head{n}.0.{br}.bn", cout, rng)
+        _mk_conv(sd, f"density_head{n}.1.conv", 4 * c, 1, k=1, bias=True,
+                 rng=rng)
+        _mk_conv(sd, f"confidence_head{n}.0.conv", c, conf_mid[n], k=1,
+                 bias=True, rng=rng)
+        _mk_conv(sd, f"confidence_head{n}.1.conv", conf_mid[n], 1, k=1,
+                 bias=True, rng=rng)
+
+    model = MODELS.build("sasnet")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]) == set(v["params"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["ConvRelu_2"]["Conv_0"]["kernel"]),
+        np.transpose(sd["de_pred4.0.conv.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["MultiBranch_1"]["BasicConv_3"]["Conv_0"]["kernel"]),
+        np.transpose(sd["density_head4.0.branch3x3_2.conv.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["ConvRelu_13"]["Conv_0"]["bias"]),
+        sd["confidence_head4.1.conv.bias"])
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cctrans_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(73)
+    dims = (16, 32, 64, 128)
+    heads = (2, 4, 8, 16)
+    depths = (2, 1, 1, 1)  # k=0,i=1 exercises global attention + sr
+    sr = (8, 4, 2, 1)
+    sd = {}
+
+    def dense(pre, i, o):
+        sd[f"{pre}.weight"] = rng.normal(0, 0.05, (o, i)).astype(np.float32)
+        sd[f"{pre}.bias"] = rng.normal(0, 0.05, o).astype(np.float32)
+
+    def lnorm(pre, c):
+        sd[f"{pre}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{pre}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+
+    prev = 3
+    for k, e in enumerate(dims):
+        patch = 4 if k == 0 else 2
+        _mk_conv(sd, f"patch_embeds.{k}.proj", prev, e, k=patch, bias=True,
+                 rng=rng)
+        lnorm(f"patch_embeds.{k}.norm", e)
+        # depthwise PEG conv (C,1,3,3)
+        sd[f"pos_block.{k}.proj.0.weight"] = rng.normal(
+            0, 0.05, (e, 1, 3, 3)).astype(np.float32)
+        sd[f"pos_block.{k}.proj.0.bias"] = rng.normal(0, 0.05, e).astype(np.float32)
+        for i in range(depths[k]):
+            pre = f"blocks.{k}.{i}"
+            lnorm(f"{pre}.norm1", e)
+            lnorm(f"{pre}.norm2", e)
+            dense(f"{pre}.mlp.fc1", e, e * 4)
+            dense(f"{pre}.mlp.fc2", e * 4, e)
+            if i % 2 == 0:  # window attention
+                dense(f"{pre}.attn.qkv", e, e * 3)
+            else:  # global sub-sampled
+                dense(f"{pre}.attn.q", e, e)
+                dense(f"{pre}.attn.kv", e, e * 2)
+                if sr[k] > 1:
+                    _mk_conv(sd, f"{pre}.attn.sr", e, e, k=sr[k], bias=True,
+                             rng=rng)
+                    lnorm(f"{pre}.attn.norm", e)
+            dense(f"{pre}.attn.proj", e, e)
+        prev = e
+    # Regression head (CCTrans.py:16-61 channel plan, inputs = stages 2/3/4)
+    for name, cin in (("v1", dims[1]), ("v2", dims[2]), ("v3", dims[3])):
+        ci = 0 if name == "v1" else 1
+        _mk_conv(sd, f"regression.{name}.{ci}", cin, 256, bias=True, rng=rng)
+        _mk_bn(sd, f"regression.{name}.{ci + 1}", 256, rng)
+    for name, cout, k in (("stage1", 128, 3), ("stage2", 128, 3),
+                          ("stage3", 128, 3), ("stage4", 384, 1)):
+        _mk_conv(sd, f"regression.{name}.0", 256, cout, k=k, bias=True,
+                 rng=rng)
+        _mk_bn(sd, f"regression.{name}.1", cout, rng)
+    _mk_conv(sd, "regression.res.0", 384, 64, bias=True, rng=rng)
+    _mk_bn(sd, "regression.res.1", 64, rng)
+    _mk_conv(sd, "regression.res.3", 64, 1, k=1, bias=True, rng=rng)
+
+    model = MODELS.build("cctrans", embed_dims=dims, num_heads=heads,
+                         depths=depths, wss=(2, 2, 2, 2), sr_ratios=sr)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]) == set(v["params"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["block0_1"]["attn"]["q"]["kernel"]),
+        sd["blocks.0.1.attn.q.weight"].T)
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["regression"]["stage2_bn"]["scale"]),
+        sd["regression.stage2.1.weight"])
+    out = model.apply(v2, jnp.asarray(
+        rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
+    out = out[0] if isinstance(out, tuple) else out
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dssinet_checkpoint_converts_and_runs():
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    rng = np.random.default_rng(75)
+    sd = {}
+    fe = "front_end.features"
+
+    def prelu(pre):
+        sd[f"{pre}.weight"] = rng.uniform(0.1, 0.4, 1).astype(np.float32)
+
+    # cfg 'F' make_layers names: convs + 'relu{i}' PReLUs (incl. the
+    # relu8/relu15 sites the reference forward never crosses)
+    chans = {"0": (3, 64), "2": (64, 64), "5": (64, 128), "7": (128, 128),
+             "10": (128, 256), "12": (256, 256), "14": (256, 256),
+             "17": (256, 512), "19": (512, 512), "21": (512, 512)}
+    for idx, (cin, cout) in chans.items():
+        _mk_conv(sd, f"{fe}.{idx}", cin, cout, bias=True, rng=rng)
+    for r in ("relu1", "relu3", "relu6", "relu8", "relu11", "relu13",
+              "relu15", "relu18", "relu20", "relu22"):
+        prelu(f"{fe}.{r}")
+
+    ncs = {1: [128, 64], 2: [256, 128, 64], 3: [512, 256, 128],
+           4: [512, 256]}
+    for k, cs in ncs.items():
+        prelu(f"passing{k}.prelu")
+        for i in range(len(cs)):
+            for j in range(len(cs)):
+                if i == j:
+                    continue
+                _mk_conv(sd, f"passing{k}.w_0_{j}_{i}_0.0", cs[j], cs[i],
+                         k=1, bias=True, rng=rng)
+    dec_in = {1: 512, 2: 768, 3: 896, 4: 448, 5: 192}
+    for k, cin in dec_in.items():
+        _mk_conv(sd, f"decoder{k}.0.conv", cin, 128, k=1, bias=True, rng=rng)
+        _mk_conv(sd, f"decoder{k}.1.conv", 128, 1, k=3, bias=True, rng=rng)
+    for k in range(1, 5):
+        _mk_conv(sd, f"passing_weight{k}.conv", 1, 1, k=3, bias=True, rng=rng)
+    prelu("prelu")
+
+    model = MODELS.build("dssinet")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    assert set(v2["params"]) == set(v["params"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["stage3"]["conv1"]["kernel"]),
+        np.transpose(sd[f"{fe}.12.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["stage1_act"]["alpha"]),
+        sd[f"{fe}.relu3.weight"])
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["passing2"]["w_0_2_0_0"]["kernel"]),
+        np.transpose(sd["passing2.w_0_2_0_0.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        np.asarray(v2["params"]["out_prelu"]["alpha"]), sd["prelu.weight"])
     out = model.apply(v2, jnp.asarray(
         rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)))
     assert np.isfinite(np.asarray(out)).all()
