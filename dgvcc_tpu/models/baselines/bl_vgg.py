@@ -30,7 +30,7 @@ class BLVGG(nn.Module):
         # (BL.py:46: [64..512x4] — no trailing 'M')
         feats = VGGFeatures(cfg=tuple(VGG19_CFG[:-1]), batch_norm=self.batch_norm,
                             dtype=self.dtype, name="features")(x, train=train)
-        y = upsample(feats, 2)
+        y = upsample(feats, 2, align_corners=True)  # F.upsample_bilinear, BL.py:25
         y = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg1")(y)
         y = nn.relu(y)
         y = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg2")(y)

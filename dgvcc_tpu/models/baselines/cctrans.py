@@ -192,8 +192,10 @@ class Regression(nn.Module):
         hw = x1.shape[1:3]
 
         def to_hw(t):
-            n, _, _, ch = t.shape
-            return jax.image.resize(t, (n, hw[0], hw[1], ch), method="linear")
+            # nn.Upsample(..., align_corners=True) (CCTrans.py:24-34)
+            from dgvcc_tpu.nn.layers import resize_bilinear_ac
+
+            return resize_bilinear_ac(t, hw)
 
         v1 = cbr(x1, 256, 3, 1, "v1")
         v2 = cbr(to_hw(x2), 256, 3, 1, "v2")

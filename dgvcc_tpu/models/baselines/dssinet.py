@@ -101,8 +101,12 @@ class _Decoder(nn.Module):
 
 
 def _resize(x, hw):
+    # antialias=False: torch F.upsample(bilinear, align_corners=False)
+    # does not prefilter on downscale (DSSINet.py:359-361) — jax.image
+    # defaults to antialiasing, which diverges on the 0.5x pyramid leg
     n, _, _, c = x.shape
-    return jax.image.resize(x, (n, hw[0], hw[1], c), method="linear")
+    return jax.image.resize(x, (n, hw[0], hw[1], c), method="linear",
+                            antialias=False)
 
 
 @MODELS.register("dssinet")

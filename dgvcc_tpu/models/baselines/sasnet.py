@@ -22,8 +22,10 @@ from dgvcc_tpu.nn.vgg import vgg16bn_stage
 
 
 def _resize_bilinear(x, hw):
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, hw[0], hw[1], c), method="linear")
+    # F.upsample_bilinear = align_corners=True (SASNet.py:141-150)
+    from dgvcc_tpu.nn.layers import resize_bilinear_ac
+
+    return resize_bilinear_ac(x, hw)
 
 
 def _resize_nearest(x, hw):
@@ -153,7 +155,9 @@ class SASNet(nn.Module):
         conf_mid = (256, 128, 64, 32, 32)
         for i, o in enumerate(outs):
             d = MultiBranch(dtype=self.dtype)(o, train)
-            d = nn.Conv(1, (1, 1), dtype=self.dtype)(d)
+            # density_head{n}.1 = Conv2d(..., NL default 'relu')
+            # (SASNet.py:20-44,75-108) — the 1x1 head IS relu'd
+            d = nn.relu(nn.Conv(1, (1, 1), dtype=self.dtype)(d))
             densities.append(_resize_nearest(d, x1.shape[1:3]))
             cf = _adaptive_avg_pool(o, conf_hw)
             cf = ConvRelu(conf_mid[i], kernel=1, dtype=self.dtype)(cf)

@@ -58,7 +58,8 @@ class CountingHead(nn.Module):
         x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
-        return upsample(x, 16)
+        # nn.UpsamplingBilinear2d = align_corners=True (SW/__init__.py:36)
+        return upsample(x, 16, align_corners=True)
 
 
 @MODELS.register("sw")
@@ -142,13 +143,15 @@ class SWCounterVGG(nn.Module):
                                  **sw_kwargs)(x, train=train)
                 x = nn.relu(x)
             idx += 1
-        x = upsample(x, 2)  # stride 16 → 8 (vgg.py:49)
+        # F.upsample_bilinear = align_corners=True (SW/backbones/vgg.py:49)
+        x = upsample(x, 2, align_corners=True)  # stride 16 → 8
         x = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg1")(x)
         x = nn.relu(x)
         x = nn.Conv(128, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="reg2")(x)
         x = nn.relu(x)
         x = jnp.abs(nn.Conv(1, (1, 1), dtype=self.dtype, name="reg3")(x))
-        return upsample(x, 8)
+        # nn.UpsamplingBilinear2d(8) = align_corners=True (SW/__init__.py:17)
+        return upsample(x, 8, align_corners=True)
 
 
 @MODELS.register("ibn")

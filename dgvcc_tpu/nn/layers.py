@@ -12,6 +12,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -56,11 +57,49 @@ class ConvBlock(nn.Module):
         return x
 
 
-def upsample(x: jnp.ndarray, scale_factor: int = 2, mode: str = "bilinear") -> jnp.ndarray:
+def _ac_interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix with torch
+    align_corners=True endpoint mapping: pos_i = i * (n_in-1)/(n_out-1).
+
+    Static-shape trace-time constant — the resize becomes two einsum
+    contractions, which XLA tiles onto the MXU (vs. the gather-based
+    jax.image.resize path)."""
+    a = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1 or n_out == 1:
+        a[:, 0] = 1.0
+        return a
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    np.add.at(a, (np.arange(n_out), lo), 1.0 - frac)
+    np.add.at(a, (np.arange(n_out), hi), frac)
+    return a
+
+
+def resize_bilinear_ac(x: jnp.ndarray, hw) -> jnp.ndarray:
+    """NHWC bilinear resize to (H, W) with align_corners=True — parity
+    with torch F.upsample_bilinear / nn.UpsamplingBilinear2d (the
+    deprecated aliases the reference uses in BL.py:25, SASNet.py:141-150,
+    SW/__init__.py:17, ibnnet/__init__.py:23, ISW/__init__.py:44,
+    CCTrans.py:24-34)."""
+    n, h, w, c = x.shape
+    if (h, w) == tuple(hw):
+        return x
+    ah = jnp.asarray(_ac_interp_matrix(h, hw[0]), x.dtype)
+    aw = jnp.asarray(_ac_interp_matrix(w, hw[1]), x.dtype)
+    y = jnp.einsum("Hh,nhwc->nHwc", ah, x)
+    return jnp.einsum("Ww,nHwc->nHWc", aw, y)
+
+
+def upsample(x: jnp.ndarray, scale_factor: int = 2, mode: str = "bilinear",
+             align_corners: bool = False) -> jnp.ndarray:
     """NHWC spatial upsample; parity with F.interpolate (models.py:23-27).
 
     ``bilinear`` matches torch align_corners=False (half-pixel centers =
-    jax.image 'linear'); ``nearest`` matches torch's floor-index nearest.
+    jax.image 'linear') unless ``align_corners=True`` (endpoint mapping,
+    the F.upsample_bilinear legacy alias); ``nearest`` matches torch's
+    floor-index nearest.
     """
     n, h, w, c = x.shape
     new_shape = (n, h * scale_factor, w * scale_factor, c)
@@ -69,6 +108,8 @@ def upsample(x: jnp.ndarray, scale_factor: int = 2, mode: str = "bilinear") -> j
         x = jnp.repeat(x, scale_factor, axis=1)
         x = jnp.repeat(x, scale_factor, axis=2)
         return x
+    if align_corners:
+        return resize_bilinear_ac(x, new_shape[1:3])
     return jax.image.resize(x, new_shape, method="linear")
 
 

@@ -1093,7 +1093,9 @@ def dssinet_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
             for j in range(n):
                 if i == j:
                     continue
-                p[f"w_0_{j}_{i}_0"] = conv(f"passing{k}.w_0_{j}_{i}_0.0")
+                # Sequential index 0 is the reference's Conv2d wrapper
+                # module (DSSINet.py:37-60) → '.0.conv.weight'
+                p[f"w_0_{j}_{i}_0"] = conv(f"passing{k}.w_0_{j}_{i}_0.0.conv")
         params[f"passing{k}"] = p
 
     for k in range(1, 6):

@@ -810,8 +810,8 @@ def test_dssinet_checkpoint_converts_and_runs():
             for j in range(len(cs)):
                 if i == j:
                     continue
-                _mk_conv(sd, f"passing{k}.w_0_{j}_{i}_0.0", cs[j], cs[i],
-                         k=1, bias=True, rng=rng)
+                _mk_conv(sd, f"passing{k}.w_0_{j}_{i}_0.0.conv", cs[j],
+                         cs[i], k=1, bias=True, rng=rng)
     dec_in = {1: 512, 2: 768, 3: 896, 4: 448, 5: 192}
     for k, cin in dec_in.items():
         _mk_conv(sd, f"decoder{k}.0.conv", cin, 128, k=1, bias=True, rng=rng)
@@ -833,7 +833,7 @@ def test_dssinet_checkpoint_converts_and_runs():
         sd[f"{fe}.relu3.weight"])
     np.testing.assert_array_equal(
         np.asarray(v2["params"]["passing2"]["w_0_2_0_0"]["kernel"]),
-        np.transpose(sd["passing2.w_0_2_0_0.0.weight"], (2, 3, 1, 0)))
+        np.transpose(sd["passing2.w_0_2_0_0.0.conv.weight"], (2, 3, 1, 0)))
     np.testing.assert_array_equal(
         np.asarray(v2["params"]["out_prelu"]["alpha"]), sd["prelu.weight"])
     out = model.apply(v2, jnp.asarray(
