@@ -299,3 +299,381 @@ def fp_folded_forward(model, variables, frames, dtype=jnp.float32):
     q = QuantizedDG(folded, scales={}, model=model, mem=mem, dtype=dtype,
                     fused_mem=False)
     return q._forward(q.qparams, jnp.asarray(frames))
+
+
+# ---------------------------------------------------------------------------
+# Generic conv(+BN) serving graphs: CSRNet / MCNN / BL-VGG / SASNet
+# ---------------------------------------------------------------------------
+
+def _maxpool(x):
+    init = -jnp.inf if x.dtype != jnp.int8 else jnp.int8(-128)
+    return jax.lax.reduce_window(x, init, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+class QuantizedConvNet:
+    """Generic int8 PTQ serving graph for feed-forward conv(+BN) models.
+
+    A family is two functions:
+      * ``fold(variables) -> {site: {kernel, bias}}`` — walk the param
+        tree, folding every eval-mode BN into its conv (`fold_bn`);
+      * ``forward(qconv, frames) -> density`` — the eval graph written
+        against a ``qconv(x, site, relu=True, padding="SAME",
+        dilation=(1, 1))`` primitive plus jnp glue (pool/resize/concat).
+
+    The same forward serves three roles: fp folded-graph exactness
+    checks (empty ``scales``), activation calibration (wrapped qconv),
+    and the int8 serving path — so the graph cannot drift between them.
+    """
+
+    def __init__(self, folded: Dict, scales: Dict[str, float], forward_fn,
+                 fp_sites=frozenset(), dtype=jnp.bfloat16):
+        self.dtype = dtype
+        self.forward_fn = forward_fn
+        self.fp_sites = frozenset(fp_sites)
+        self.scales = {k: float(v) for k, v in scales.items()}
+        q: Dict[str, Dict[str, Any]] = {}
+        for name, site in folded.items():
+            if name in self.fp_sites or name not in self.scales:
+                q[name] = {"kernel": jnp.asarray(site["kernel"], dtype),
+                           "bias": jnp.asarray(site["bias"], jnp.float32)}
+            else:
+                w8, ws = quantize_weight(site["kernel"])
+                q[name] = {"w8": jnp.asarray(w8), "ws": jnp.asarray(ws),
+                           "bias": jnp.asarray(site["bias"], jnp.float32)}
+        self.qparams: Dict[str, Any] = {"sites": q}
+        self._jitted = jax.jit(self._forward)
+
+    def _qconv(self, qparams, x, name: str, relu: bool = True,
+               padding="SAME", dilation=(1, 1)):
+        site = qparams["sites"][name]
+        if "w8" not in site:  # fp site
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), site["kernel"], (1, 1), padding,
+                rhs_dilation=dilation, dimension_numbers=_DN)
+            y = y + site["bias"].astype(self.dtype)
+            return jax.nn.relu(y) if relu else y
+        s = self.scales[name]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                      ).astype(jnp.int8)
+        yi = jax.lax.conv_general_dilated(
+            xq, site["w8"], (1, 1), padding, rhs_dilation=dilation,
+            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+        y = yi.astype(jnp.float32) * (site["ws"] * s) + site["bias"]
+        if relu:
+            y = jax.nn.relu(y)
+        return y.astype(self.dtype)
+
+    def _forward(self, qparams, frames):
+        def qconv(x, name, **kw):
+            return self._qconv(qparams, x, name, **kw)
+
+        return self.forward_fn(qconv, frames.astype(self.dtype))
+
+    def __call__(self, frames):
+        return self._jitted(self.qparams, frames)
+
+
+def calibrate_graph(folded: Dict, forward_fn, fp_sites,
+                    calib_frames) -> Dict[str, float]:
+    """Per-site input absmax over calibration frames via the fp folded
+    graph (identical activations to the BN graph — folding is exact)."""
+    q = QuantizedConvNet(folded, {}, forward_fn, fp_sites,
+                         dtype=jnp.float32)
+    orig = q._qconv
+
+    @jax.jit
+    def run(frames):
+        caps: Dict[str, Any] = {}
+
+        def capturing(qp, x, name, relu=True, padding="SAME",
+                      dilation=(1, 1)):
+            if name not in q.fp_sites:
+                m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                caps[name] = jnp.maximum(caps[name], m) if name in caps else m
+            return orig(qp, x, name, relu=relu, padding=padding,
+                        dilation=dilation)
+
+        q._qconv = capturing
+        try:
+            q._forward(q.qparams, frames)
+        finally:
+            q._qconv = orig
+        return caps
+
+    return {k: float(v) for k, v in
+            jax.device_get(run(jnp.asarray(calib_frames))).items()}
+
+
+def _plain_conv_site(conv) -> Dict[str, np.ndarray]:
+    k = np.asarray(conv["kernel"], np.float32)
+    b = np.asarray(conv.get("bias", np.zeros(k.shape[-1])), np.float32)
+    return {"kernel": k, "bias": b}
+
+
+def _fold_site(conv, bn_p, bn_s, eps=1e-5) -> Dict[str, np.ndarray]:
+    k, b = fold_bn(conv["kernel"], conv.get("bias"), bn_p["scale"],
+                   bn_p["bias"], bn_s["mean"], bn_s["var"], eps=eps)
+    return {"kernel": k, "bias": b}
+
+
+# -- CSRNet (baselines/CSRNet.py:10-44; BN-free vgg16 front + dilated back)
+
+def csrnet_fold(variables) -> Dict:
+    params = jax.tree.map(np.asarray, variables["params"])
+    folded = {}
+    for stack in ("frontend", "backend"):
+        for cname, conv in params[stack].items():
+            folded[f"{stack}/{cname}"] = _plain_conv_site(conv)
+    folded["output_layer"] = _plain_conv_site(params["output_layer"])
+    return folded
+
+
+def csrnet_forward(qconv, x):
+    from dgvcc_tpu.models.baselines.csrnet import BACKEND, FRONTEND
+
+    i = 0
+    for v in FRONTEND:
+        if v == "M":
+            x = _maxpool(x)
+        else:
+            x = qconv(x, f"frontend/conv{i}")
+            i += 1
+    for i in range(len(BACKEND)):
+        x = qconv(x, f"backend/conv{i}", dilation=(2, 2))
+    return qconv(x, "output_layer", relu=False)
+
+
+# -- MCNN (baselines/MCNN.py:7-75; 3 columns, pools after convs 0-1)
+
+_MCNN_BRANCHES = (("branch1", 4), ("branch2", 4), ("branch3", 4))
+
+
+def mcnn_fold(variables) -> Dict:
+    params = jax.tree.map(np.asarray, variables["params"])
+    folded = {}
+    for bname, n in _MCNN_BRANCHES:
+        for i in range(n):
+            folded[f"{bname}/conv{i}"] = _plain_conv_site(
+                params[bname][f"conv{i}"])
+    folded["fuse"] = _plain_conv_site(params["fuse"])
+    return folded
+
+
+def mcnn_forward(qconv, x):
+    outs = []
+    for bname, n in _MCNN_BRANCHES:
+        y = x
+        for i in range(n):
+            y = qconv(y, f"{bname}/conv{i}")
+            if i < 2:
+                y = _maxpool(y)
+        outs.append(y)
+    return qconv(jnp.concatenate(outs, axis=-1), "fuse", relu=False)
+
+
+# -- BL-VGG (baselines/BL.py:11-56; vgg19 features + x2 up + reg head)
+
+def bl_fold(variables, batch_norm: bool = False) -> Dict:
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    folded = {}
+    for kind, idx, _ in feature_layout(tuple(VGG19_CFG[:-1]), batch_norm):
+        if kind != "conv":
+            continue
+        conv = params["features"][f"conv{idx}"]
+        if batch_norm:
+            folded[f"features/conv{idx}"] = _fold_site(
+                conv, params["features"][f"bn{idx + 1}"],
+                stats["features"][f"bn{idx + 1}"])
+        else:
+            folded[f"features/conv{idx}"] = _plain_conv_site(conv)
+    for name in ("reg1", "reg2", "reg3"):
+        folded[name] = _plain_conv_site(params[name])
+    return folded
+
+
+def bl_forward(qconv, x, batch_norm: bool = False):
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    for kind, idx, _ in feature_layout(tuple(VGG19_CFG[:-1]), batch_norm):
+        if kind == "conv":
+            x = qconv(x, f"features/conv{idx}")
+        elif kind == "pool":
+            x = _maxpool(x)
+    x = upsample(x, 2, align_corners=True)  # F.upsample_bilinear, BL.py:25
+    x = qconv(x, "reg1")
+    x = qconv(x, "reg2")
+    return jnp.abs(qconv(x, "reg3", relu=False))
+
+
+# -- SASNet (baselines/SASNet.py:47-214; vgg16_bn U-decoder + heads)
+
+_SAS_SPLITS = (("features1", 0, 6), ("features2", 6, 13),
+               ("features3", 13, 23), ("features4", 23, 33),
+               ("features5", 33, 43))
+
+
+def sasnet_fold(variables) -> Dict:
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    folded = {}
+    for st, lo, hi in _SAS_SPLITS:
+        for kind, idx, _ in feature_layout(VGG16_CFG, True):
+            if kind != "conv" or not (lo <= idx < hi):
+                continue
+            folded[f"{st}/conv{idx}"] = _fold_site(
+                params[st][f"conv{idx}"], params[st][f"bn{idx + 1}"],
+                stats[st][f"bn{idx + 1}"])
+    for i in range(10):  # de_pred chains
+        folded[f"ConvRelu_{i}"] = _plain_conv_site(
+            params[f"ConvRelu_{i}"]["Conv_0"])
+    for i in range(5):
+        mb = params[f"MultiBranch_{i}"]
+        mb_s = stats[f"MultiBranch_{i}"]
+        for b in range(6):
+            # BasicConv BN uses eps=1e-3 (SASNet.py:250, our sasnet.py)
+            folded[f"MultiBranch_{i}/BasicConv_{b}"] = _fold_site(
+                mb[f"BasicConv_{b}"]["Conv_0"],
+                mb[f"BasicConv_{b}"]["BatchNorm_0"],
+                mb_s[f"BasicConv_{b}"]["BatchNorm_0"], eps=1e-3)
+        folded[f"Conv_{i}"] = _plain_conv_site(params[f"Conv_{i}"])
+    for i in range(10, 20):  # confidence chains (tiny; fp)
+        folded[f"ConvRelu_{i}"] = _plain_conv_site(
+            params[f"ConvRelu_{i}"]["Conv_0"])
+    return folded
+
+
+def sasnet_forward(qconv, x, block_size: int = 32):
+    """Mirror of models/baselines/sasnet.py __call__ (eval), itself
+    parity-tested against reference SASNet.py:138-214."""
+    from dgvcc_tpu.models.baselines.sasnet import (
+        _adaptive_avg_pool, _resize_bilinear, _resize_nearest)
+
+    size_hw = x.shape[1:3]
+    feats = []
+    for st, lo, hi in _SAS_SPLITS:
+        for kind, idx, _ in feature_layout(VGG16_CFG, True):
+            if not (lo <= idx < hi):
+                continue
+            if kind == "conv":
+                x = qconv(x, f"{st}/conv{idx}")
+            elif kind == "pool":
+                x = _maxpool(x)
+        feats.append(x)
+    x1, x2, x3, x4, x5 = feats
+
+    y = qconv(x5, "ConvRelu_0")
+    y = qconv(y, "ConvRelu_1")
+    x5_out = y
+    y = _resize_bilinear(y, x4.shape[1:3])
+    y = jnp.concatenate([x4, y], axis=-1)
+    y = qconv(y, "ConvRelu_2")
+    y = qconv(y, "ConvRelu_3")
+    x4_out = y
+    y = _resize_bilinear(y, x3.shape[1:3])
+    y = jnp.concatenate([x3, y], axis=-1)
+    y = qconv(y, "ConvRelu_4")
+    y = qconv(y, "ConvRelu_5")
+    x3_out = y
+    y = _resize_bilinear(y, x2.shape[1:3])
+    y = jnp.concatenate([x2, y], axis=-1)
+    y = qconv(y, "ConvRelu_6")
+    y = qconv(y, "ConvRelu_7")
+    x2_out = y
+    y = _resize_bilinear(y, x1.shape[1:3])
+    y = jnp.concatenate([x1, y], axis=-1)
+    y = qconv(y, "ConvRelu_8")
+    y = qconv(y, "ConvRelu_9")
+    x1_out = y
+
+    outs = (x5_out, x4_out, x3_out, x2_out, x1_out)
+    conf_hw = (size_hw[0] // block_size, size_hw[1] // block_size)
+    densities, confis = [], []
+    for i, o in enumerate(outs):
+        b1 = qconv(o, f"MultiBranch_{i}/BasicConv_0")
+        b1 = qconv(b1, f"MultiBranch_{i}/BasicConv_1")
+        b3 = qconv(o, f"MultiBranch_{i}/BasicConv_2")
+        b3 = qconv(b3, f"MultiBranch_{i}/BasicConv_3")
+        b5 = qconv(o, f"MultiBranch_{i}/BasicConv_4")
+        b5 = qconv(b5, f"MultiBranch_{i}/BasicConv_5")
+        d = jnp.concatenate([b1, b3, b5, o], axis=-1)
+        d = qconv(d, f"Conv_{i}")  # density 1x1 head IS relu'd
+        densities.append(_resize_nearest(d, x1.shape[1:3]))
+        cf = _adaptive_avg_pool(o, conf_hw)
+        cf = qconv(cf, f"ConvRelu_{10 + 2 * i}")
+        cf = qconv(cf, f"ConvRelu_{11 + 2 * i}", relu=False)
+        confis.append(_resize_nearest(cf, x1.shape[1:3]))
+    conf = jax.nn.softmax(jax.nn.sigmoid(
+        jnp.concatenate(confis, axis=-1).astype(jnp.float32)), axis=-1)
+    dens = jnp.concatenate(densities, axis=-1).astype(jnp.float32)
+    return jnp.sum(dens * conf, axis=-1, keepdims=True)
+
+
+# family → (fold, forward, fp_sites); fp sites are the tiny 1x1 heads
+# and the 2x2-resolution confidence chains (quantizing them saves
+# nothing and costs accuracy)
+def _family_spec(model):
+    from dgvcc_tpu.models.baselines.bl_vgg import BLVGG
+    from dgvcc_tpu.models.baselines.csrnet import CSRNet
+    from dgvcc_tpu.models.baselines.mcnn import MCNN
+    from dgvcc_tpu.models.baselines.sasnet import SASNet
+
+    if isinstance(model, CSRNet):
+        return csrnet_fold, csrnet_forward, frozenset({"output_layer"})
+    if isinstance(model, MCNN):
+        return mcnn_fold, mcnn_forward, frozenset({"fuse"})
+    if isinstance(model, BLVGG):
+        bn = model.batch_norm
+        return (lambda v: bl_fold(v, bn),
+                lambda qc, x: bl_forward(qc, x, bn),
+                frozenset({"reg3"}))
+    if isinstance(model, SASNet):
+        bs = model.block_size
+        fp = frozenset({f"Conv_{i}" for i in range(5)}
+                       | {f"ConvRelu_{i}" for i in range(10, 20)})
+        return (sasnet_fold,
+                lambda qc, x: sasnet_forward(qc, x, block_size=bs), fp)
+    return None
+
+
+def build_quantized(model, variables, calib_frames, dtype=jnp.bfloat16,
+                    fused_mem: Optional[bool] = None, min_ch: int = 128):
+    """Quantize any supported model for serving: DG family →
+    :class:`QuantizedDG`; CSRNet / MCNN / BL-VGG / SASNet →
+    :class:`QuantizedConvNet`. Raises a clear error otherwise (the
+    whitening counters compute instance statistics at eval and are not
+    foldable — see ARCHITECTURE.md).
+
+    ``min_ch``: sites with fewer than this many input AND output
+    channels stay bf16. Low-channel convs don't saturate the int8 MXU
+    and the x/s→round→clip requantize traffic makes them NET SLOWER —
+    measured on v5e at 768x1024: MCNN all-int8 0.61x bf16, SASNet
+    all-int8 0.78x (BENCH_NOTES.md). 128 keeps the channel-rich VGG/
+    decoder stacks int8 (csrnet 1.23x, bl 1.17x) and leaves the thin
+    full-res stages alone; MCNN (max 48 ch) falls back to pure bf16.
+    """
+    from dgvcc_tpu.models.dg import DGModel
+
+    if isinstance(model, DGModel):
+        return QuantizedDG.from_model(model, variables, calib_frames,
+                                      dtype=dtype, fused_mem=fused_mem)
+    spec = _family_spec(model)
+    if spec is None:
+        raise ValueError(
+            "int8 quantization supports the DG family and the conv(+BN) "
+            "baselines csrnet/mcnn/bl/sasnet; got "
+            f"{type(model).__name__} (whitening counters need instance "
+            "stats at eval and stay fp)")
+    fold_fn, fwd_fn, fp_sites = spec
+    folded = fold_fn(variables)
+    caps = calibrate_graph(folded, fwd_fn, fp_sites, calib_frames)
+    scales = {}
+    for k, v in caps.items():
+        kh, kw, cin, cout = folded[k]["kernel"].shape
+        if min(cin, cout) < min_ch:
+            continue  # stays bf16 (requant overhead beats the MXU win)
+        scales[k] = max(v, 1e-12) / 127.0
+    return QuantizedConvNet(folded, scales, fwd_fn, fp_sites, dtype=dtype)

@@ -31,25 +31,44 @@ class VideoCounter:
 
     def __init__(self, model, variables, log_para: float = 1000.0,
                  bucket: int = 64, dtype=jnp.bfloat16, quantize: bool = False,
-                 calib_frames: Optional[np.ndarray] = None):
+                 calib_frames: Optional[np.ndarray] = None,
+                 tile_size: int = 768, tile_threshold: int = 4096):
         self.model = model
         self.variables = variables
         self.log_para = log_para
         self.bucket = bucket
         self.dtype = dtype
+        # frames whose max dimension exceeds tile_threshold run through
+        # the tiled path (tile_size x tile_size tile batch) instead of
+        # one monolithic multi-megapixel program; tile_size=0 disables.
+        # Default threshold is high (4096): through this container's
+        # relay the tile batch pays per-transfer RTT and loses to the
+        # monolithic program (measured, BENCH_NOTES.md "Large-frame
+        # serving"), so tiling is reserved for frames big enough to
+        # threaten HBM/compile blowup; on a direct-attached host lower
+        # it (e.g. 1536) to bound the compile set per unique frame size
+        self.tile_size = tile_size
+        self.tile_threshold = tile_threshold
         self.quantized = None
         self._quant_pending = False
         if quantize:
             # int8 PTQ serving graph (nn/quant.py): ~1.5x the bf16 fps
-            # on v5e. Activation scales MUST come from real imagery —
-            # with calib_frames they're calibrated now, otherwise
-            # calibration happens lazily on the first served batch.
+            # on v5e. Supports the DG family + the conv(+BN) baselines
+            # (csrnet/mcnn/bl/sasnet). Activation scales MUST come from
+            # real imagery — with calib_frames they're calibrated now,
+            # otherwise calibration happens lazily on the first batch.
+            from dgvcc_tpu.models.baselines.bl_vgg import BLVGG
+            from dgvcc_tpu.models.baselines.csrnet import CSRNet
+            from dgvcc_tpu.models.baselines.mcnn import MCNN
+            from dgvcc_tpu.models.baselines.sasnet import SASNet
             from dgvcc_tpu.models.dg import DGModel
 
-            if not isinstance(model, DGModel):
+            if not isinstance(model, (DGModel, CSRNet, MCNN, BLVGG,
+                                      SASNet)):
                 raise ValueError(
                     "quantize=True supports the DG family "
-                    "(base/mem/memadd/cls/memcls/final); got "
+                    "(base/mem/memadd/cls/memcls/final) and the "
+                    "csrnet/mcnn/bl/sasnet baselines; got "
                     f"{type(model).__name__}")
             if calib_frames is None:
                 self._quant_pending = True
@@ -61,15 +80,16 @@ class VideoCounter:
                 # weights IS qparams here — passed as a jit argument so
                 # the folded int8 weights are program inputs, not
                 # constants baked into the trace
-                d, _ = self.quantized._forward(weights, x)
+                out = self.quantized._forward(weights, x)
+                d = out[0] if isinstance(out, tuple) else out
                 return d.astype(jnp.float32)
             out = self.model.apply(weights, x)
             return (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
 
-        @jax.jit
-        def infer(weights, frames_u8, valid_hw):
+        def masked_counts(weights, frames_u8, valid_hw):
             # uint8 → [-1, 1] normalize (Normalize(0.5, 0.5)) fused with
-            # the forward; padded border zeroed out of the count
+            # the forward; padded border zeroed out of the count.
+            # valid_hw: (B, 2) per-sample real-pixel extents.
             x = frames_u8.astype(jnp.float32) / 255.0
             x = ((x - 0.5) / 0.5).astype(dtype)
             d = density(weights, x)
@@ -77,21 +97,37 @@ class VideoCounter:
             w_idx = jnp.arange(d.shape[2])[None, None, :, None]
             scale_h = d.shape[1] / frames_u8.shape[1]
             scale_w = d.shape[2] / frames_u8.shape[2]
-            mask = ((h_idx < valid_hw[0] * scale_h)
-                    & (w_idx < valid_hw[1] * scale_w))
+            vh = valid_hw[:, 0][:, None, None, None]
+            vw = valid_hw[:, 1][:, None, None, None]
+            mask = (h_idx < vh * scale_h) & (w_idx < vw * scale_w)
             return jnp.sum(d * mask, axis=(1, 2, 3)) / log_para
 
+        @jax.jit
+        def infer(weights, frames_u8, valid_hw):
+            return masked_counts(weights, frames_u8, valid_hw)
+
+        @jax.jit
+        def infer_tiled(weights, tiles_u8, valid_hw):
+            # tiles_u8: (B, T, t, t, 3) — each frame cut into T static
+            # tiles; forward as one (B*T) batch, per-frame sums INSIDE
+            # jit so streaming still gets a single (B,) device future
+            b, t = tiles_u8.shape[:2]
+            flat = tiles_u8.reshape((b * t,) + tiles_u8.shape[2:])
+            counts = masked_counts(weights, flat, valid_hw)
+            return counts.reshape(b, t).sum(axis=1)
+
         self._infer = infer
+        self._infer_tiled = infer_tiled
 
     def _build_quantized(self, calib_frames: np.ndarray):
         """Fold + calibrate + quantize on real frames (uint8 or already
         normalized float)."""
-        from dgvcc_tpu.nn.quant import QuantizedDG
+        from dgvcc_tpu.nn.quant import build_quantized
 
         c = np.asarray(calib_frames)
         if c.dtype == np.uint8:  # same normalize as infer()
             c = (c.astype(np.float32) / 255.0 - 0.5) / 0.5
-        self.quantized = QuantizedDG.from_model(
+        self.quantized = build_quantized(
             self.model, self.variables, jnp.asarray(c, jnp.float32),
             dtype=self.dtype)
         self._quant_pending = False
@@ -106,6 +142,7 @@ class VideoCounter:
                         log_para: float = 1000.0, dtype=jnp.bfloat16,
                         quantize: bool = False,
                         calib_frames: Optional[np.ndarray] = None,
+                        tile_size: int = 768, tile_threshold: int = 4096,
                         **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
@@ -150,7 +187,8 @@ class VideoCounter:
         # re-transferred on every inference call
         variables = jax.device_put(variables)
         return cls(model, variables, log_para=log_para, dtype=dtype,
-                   quantize=quantize, calib_frames=calib_frames)
+                   quantize=quantize, calib_frames=calib_frames,
+                   tile_size=tile_size, tile_threshold=tile_threshold)
 
     def _pad(self, frames: np.ndarray):
         b, h, w, c = frames.shape
@@ -162,15 +200,43 @@ class VideoCounter:
         out[:, :h, :w] = frames
         return out, (h, w)
 
+    def _tile(self, frames: np.ndarray):
+        """(B, H, W, 3) → (B, T, t, t, 3) tiles + (B*T, 2) per-tile
+        valid extents. One compiled program per (B, T) — for a video
+        stream (constant frame size) that is a single program, with
+        tile compute instead of a monolithic multi-megapixel forward."""
+        b, h, w, c = frames.shape
+        t = self.tile_size
+        nh, nw = math.ceil(h / t), math.ceil(w / t)
+        padded = np.zeros((b, nh * t, nw * t, c), frames.dtype)
+        padded[:, :h, :w] = frames
+        tiles = (padded.reshape(b, nh, t, nw, t, c)
+                 .transpose(0, 1, 3, 2, 4, 5)
+                 .reshape(b, nh * nw, t, t, c))
+        vh = np.clip(h - np.arange(nh) * t, 0, t)
+        vw = np.clip(w - np.arange(nw) * t, 0, t)
+        valid = np.stack(np.broadcast_arrays(vh[:, None], vw[None, :]),
+                         axis=-1).reshape(nh * nw, 2)
+        return tiles, np.tile(valid, (b, 1)).astype(np.int32)
+
+    def _launch(self, frames: np.ndarray):
+        """Dispatch one batch; returns a (B,) device-array future."""
+        b, h, w, _ = frames.shape
+        if self.tile_size and max(h, w) > self.tile_threshold:
+            tiles, valid = self._tile(frames)
+            return self._infer_tiled(self._weights(), jnp.asarray(tiles),
+                                     jnp.asarray(valid))
+        padded, (h, w) = self._pad(frames)
+        valid = np.tile(np.int32([h, w]), (b, 1))
+        return self._infer(self._weights(), jnp.asarray(padded),
+                           jnp.asarray(valid))
+
     def count_frames(self, frames: np.ndarray) -> np.ndarray:
         """frames: (B, H, W, 3) uint8 → (B,) predicted counts."""
         frames = np.asarray(frames)
         if self._quant_pending:  # lazy calibration on the first real batch
             self._build_quantized(frames)
-        padded, (h, w) = self._pad(frames)
-        counts = self._infer(self._weights(), jnp.asarray(padded),
-                             jnp.asarray([h, w]))
-        return np.asarray(counts)
+        return np.asarray(self._launch(frames))
 
     def stream(self, frame_batches: Iterable[np.ndarray],
                prefetch: int = 2) -> Iterator[np.ndarray]:
@@ -181,10 +247,7 @@ class VideoCounter:
             frames = np.asarray(frames)
             if self._quant_pending:
                 self._build_quantized(frames)
-            padded, (h, w) = self._pad(frames)
-            fut = self._infer(self._weights(), jnp.asarray(padded),
-                              jnp.asarray([h, w]))
-            in_flight.append(fut)
+            in_flight.append(self._launch(frames))
             if len(in_flight) > prefetch:
                 yield np.asarray(in_flight.pop(0))
         for fut in in_flight:

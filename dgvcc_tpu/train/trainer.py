@@ -36,7 +36,9 @@ from dgvcc_tpu.train.checkpoint import CheckpointRotator, load_checkpoint
 from dgvcc_tpu.train.optim import build_optimizer, build_scheduler
 from dgvcc_tpu.train.state import create_train_state
 from dgvcc_tpu.train.steps import build_train_step, jit_train_step
-from dgvcc_tpu.utils.misc import AverageMeter, DictAvgMeter, get_current_datetime, seed_everything
+from dgvcc_tpu.utils.misc import (AverageMeter, DictAvgMeter,
+                                  get_current_datetime, progress,
+                                  seed_everything)
 
 
 class DGTrainer:
@@ -56,6 +58,13 @@ class DGTrainer:
 
     def log(self, msg, **kw):
         self.logger.log(msg, **kw)
+
+    def _progress(self, iterable, description: str):
+        """Per-batch progress line (easy_track parity, reference
+        trainers/trainer.py:80,94,145,174). TTY-only by default; config
+        extra ``progress: true/false`` forces it on/off."""
+        return progress(iterable, description,
+                        enabled=self.cfg.extra.get("progress"))
 
     def build(self):
         if self._built:
@@ -227,7 +236,16 @@ class DGTrainer:
         def apply_fn(variables, tiles):
             return self.model.apply(variables, tiles)
 
-        self.counter = TiledCounter(apply_fn, self.log_para, self.patch_size)
+        if self.dp_mesh is not None:
+            # shard the val/test tile batches over the data axis — all
+            # chips count, instead of N-1 idling through the eval loop
+            from dgvcc_tpu.parallel.eval import ShardedTiledCounter
+
+            self.counter = ShardedTiledCounter(
+                apply_fn, self.log_para, self.patch_size, self.dp_mesh)
+        else:
+            self.counter = TiledCounter(apply_fn, self.log_para,
+                                        self.patch_size)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
 
         # ISW two-pass covariance protocol (dgtrainer.py:86-102).
@@ -379,7 +397,8 @@ class DGTrainer:
             masks, nums, margins = self.isw_tracker.mask_batch()
             isw_extra = {"isw_masks": masks, "isw_nums": nums,
                          "isw_margins": margins}
-        for batch in train_loader:
+        for batch in self._progress(train_loader,
+                                    f"Epoch {epoch}: Training..."):
             if self._preempted:
                 # mid-epoch preemption: persist the last COMPLETED epoch
                 # (resume redoes this one) instead of risking the grace
@@ -483,7 +502,8 @@ class DGTrainer:
             self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
             return crit.avg
 
-        for sample in self.loaders["val"]:
+        for sample in self._progress(self.loaders["val"],
+                                     f"Epoch {epoch}: Validating..."):
             pred = self.counter.count(variables, sample["img1"])
             if self.isw_tracker is not None and "img2" in sample:
                 # predict2: accumulate covariance stats from the two
@@ -603,17 +623,13 @@ class DGTrainer:
         Builds the quantized serving graph (nn/quant.py) from the
         current weights, calibrated on the given test samples, and wraps
         it in a TiledCounter so arbitrary-size evaluation works
-        unchanged. DG family only; ~1.5x eval throughput on v5e at ~1%
+        unchanged. Supports the DG family and the conv(+BN) baselines
+        (csrnet/mcnn/bl/sasnet); ~1.5x eval throughput on v5e at ~1%
         count drift (BENCH_NOTES.md)."""
         from flax.core import unfreeze
 
-        from dgvcc_tpu.models.dg import DGModel
-        from dgvcc_tpu.nn.quant import QuantizedDG
+        from dgvcc_tpu.nn.quant import build_quantized
 
-        if not isinstance(self.model, DGModel):
-            raise ValueError(
-                "test_quantized supports the DG family (base/mem/memadd/"
-                f"cls/memcls/final); got {type(self.model).__name__}")
         variables = {"params": unfreeze(self.state.params),
                      "batch_stats": unfreeze(self.state.batch_stats)}
         imgs = [s["img1"] for s in calib_samples]
@@ -623,8 +639,8 @@ class DGTrainer:
         # one static square crop size across the calib batch
         s = min(256, *(min(i.shape[0], i.shape[1]) for i in imgs))
         calib = np.stack([i[:s, :s] for i in imgs])
-        q = QuantizedDG.from_model(self.model, variables,
-                                   jnp.asarray(calib, jnp.float32))
+        q = build_quantized(self.model, variables,
+                            jnp.asarray(calib, jnp.float32))
 
         def apply_fn(_variables, tiles):
             return q._forward(q.qparams, tiles)
@@ -659,7 +675,7 @@ class DGTrainer:
             self.validate(-1, 1e10)
             self.log(f"End testing at {get_current_datetime()}")
             return {}
-        for sample in sample_iter:
+        for sample in self._progress(sample_iter, "Testing..."):
             pred = counter.count(variables, sample["img1"])
             gt_count = float(len(sample["gt"]))
             meter.update({"mae": abs(pred - gt_count),
@@ -730,7 +746,8 @@ class DGTrainer:
         variables = self._variables()
         has_cls = getattr(self.model, "use_cls", False) and self.mode != "base"
 
-        for sample in self.loaders["test"]:
+        for sample in self._progress(self.loaders["test"],
+                                     "Visualizing..."):
             name = sample["name"]
             img1 = sample["img1"]
             img2 = sample.get("img2", img1)

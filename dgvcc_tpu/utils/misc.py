@@ -154,3 +154,50 @@ def seed_everything(seed: int):
 
 def get_current_datetime() -> str:
     return time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
+
+
+def progress(iterable, description: str = "", enabled=None, stream=None,
+             min_interval: float = 0.1):
+    """In-loop progress line — ``easy_track`` parity (reference
+    utils/misc.py:147-148, consumed at trainers/trainer.py:80,94,145,174).
+
+    Writes a carriage-return status line (`desc  n/total (pct)  elapsed`)
+    to stderr on a TTY; completely silent otherwise (`enabled=None`
+    auto-detects, tests/pipes stay clean) — and costs no device syncs:
+    only the Python loop index is reported, never a metric readback.
+    Throttled to ``min_interval`` seconds so fast loops pay nothing.
+    """
+    import sys
+
+    if stream is None:
+        stream = sys.stderr
+    if enabled is None:
+        enabled = hasattr(stream, "isatty") and stream.isatty()
+    if not enabled:
+        yield from iterable
+        return
+    total = len(iterable) if hasattr(iterable, "__len__") else None
+    start = time.time()
+    last = 0.0
+    n = 0
+    wrote = False
+    try:
+        for item in iterable:
+            n += 1
+            now = time.time()
+            if now - last >= min_interval or n == total:
+                last = now
+                el = now - start
+                if total:
+                    msg = (f"\r{description} {n}/{total} "
+                           f"({100 * n / max(total, 1):3.0f}%) {el:6.1f}s")
+                else:
+                    msg = f"\r{description} {n} it {el:6.1f}s"
+                stream.write(msg)
+                stream.flush()
+                wrote = True
+            yield item
+    finally:
+        if wrote:
+            stream.write("\n")
+            stream.flush()

@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Cross-framework A/B: reference torch trainer vs dgvcc_tpu, lockstep.
+
+The strongest quality comparison achievable without the real datasets
+(none are reachable in this container): train the ACTUAL reference
+torch model (imported from /root/reference via tests/reference_oracle
+shims) and the dgvcc_tpu flax model
+
+  * from IDENTICAL initial weights (torch init → nn/torch_io converter,
+    itself eval-parity-tested in tests/test_eval_parity.py),
+  * on IDENTICAL batches (both sides consume the same seeded dgvcc_tpu
+    loader — data, augmentation, and order are equal by construction),
+  * with the same loss (MSE on log_para-scaled density maps,
+    trainers/basetrainer.py:30-37) and optimizer (Adam, same lr).
+
+Per-epoch val MAE (predict-sum protocol, basetrainer.py:51-65) is then
+directly comparable: remaining differences are framework numerics +
+Adam implementation details only.
+
+Note: the reference's own train_step forgets loss.backward()
+(basetrainer.py:86-105 — documented in SURVEY.md); this harness runs
+the corrected protocol on the torch side, as our trainer does.
+
+Usage:  python scripts/ab_compare.py [--family mcnn] [--epochs 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+LOG_PARA = 1000.0
+
+
+def build_data(root, seed=0):
+    from convergence_tpu import make_learnable_dataset
+
+    make_learnable_dataset(root, n_train=16, n_val=8, hw=(128, 128),
+                           seed=seed)
+
+
+def make_loader(root, downsample, seed):
+    from dgvcc_tpu.core.registry import DATASETS
+    from dgvcc_tpu.data.loader import DataLoader
+    import dgvcc_tpu.data  # noqa: F401
+
+    train = DATASETS.build("den", method="train", root=root, crop_size=128,
+                           downsample=downsample, unit_size=16)
+    val = DATASETS.build("den", method="val", root=root, crop_size=128,
+                         downsample=downsample, unit_size=16)
+    return (DataLoader(train, batch_size=8, shuffle=True, seed=seed),
+            val)
+
+
+def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from reference_oracle import ref_import
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.core.registry import MODELS
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    if family == "mcnn":
+        ref = ref_import("models.baselines.MCNN").MCNN()
+        downsample = 4
+    elif family == "bl":
+        ref = ref_import("models.baselines.BL").BL_VGG(pretrained=False)
+        downsample = 8
+    else:
+        raise SystemExit(f"unsupported family {family} (mcnn | bl)")
+    torch.manual_seed(seed)
+
+    root = tempfile.mkdtemp(prefix=f"ab_{family}_")
+    build_data(root, seed)
+    loader, val_ds = make_loader(root, downsample, seed)
+
+    # identical initial weights via the tested converter
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    model = MODELS.build(family)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 64, 64, 3)), train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    params = v2["params"]
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, opt_state, img, dmap):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, img, train=False)
+            return jnp.mean((pred - dmap * LOG_PARA) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def jpred(params, img):
+        return jnp.sum(model.apply({"params": params}, img,
+                                   train=False)) / LOG_PARA
+
+    topt = torch.optim.Adam(ref.parameters(), lr=lr)
+    tloss = torch.nn.MSELoss()
+
+    def torch_step(img_nhwc, dmap_nhwc):
+        x = torch.tensor(np.transpose(img_nhwc, (0, 3, 1, 2)))
+        y = torch.tensor(np.transpose(dmap_nhwc, (0, 3, 1, 2)))
+        topt.zero_grad()
+        out = ref(x)
+        lv = tloss(out, y * LOG_PARA)
+        lv.backward()
+        topt.step()
+        return float(lv.detach())
+
+    def val_mae():
+        ref.eval()
+        tm, jm = [], []
+        for i in range(len(val_ds)):
+            s = val_ds[i]
+            gt = len(s["gt"])
+            img = s["img1"][None]
+            with torch.no_grad():
+                tp = float(ref(torch.tensor(
+                    np.transpose(img, (0, 3, 1, 2)))).sum()) / LOG_PARA
+            jp = float(jpred(params, jnp.asarray(img)))
+            tm.append(abs(tp - gt))
+            jm.append(abs(jp - gt))
+        ref.train()
+        return float(np.mean(tm)), float(np.mean(jm))
+
+    print(f"A/B {family}: {epochs} epochs, lr={lr}, identical init + "
+          f"batches, corrected reference protocol")
+    print(f"{'epoch':>5} {'torch loss':>11} {'tpu loss':>11} "
+          f"{'torch MAE':>10} {'tpu MAE':>10}")
+    rows = []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        tl = jl = 0.0
+        nb = 0
+        for batch in loader:
+            img = np.asarray(batch["img1"], np.float32)
+            dmap = np.asarray(batch["dmap"], np.float32)
+            tl += torch_step(img, dmap)
+            params, opt_state, l2 = jstep(params, opt_state,
+                                          jnp.asarray(img),
+                                          jnp.asarray(dmap))
+            jl += float(l2)
+            nb += 1
+        tmae, jmae = val_mae()
+        rows.append((epoch, tl / nb, jl / nb, tmae, jmae))
+        print(f"{epoch:5d} {tl / nb:11.4f} {jl / nb:11.4f} "
+              f"{tmae:10.3f} {jmae:10.3f}", flush=True)
+    t_final = np.mean([r[3] for r in rows[-3:]])
+    j_final = np.mean([r[4] for r in rows[-3:]])
+    print(f"\nfinal-3-epoch mean val MAE: torch {t_final:.3f} | "
+          f"dgvcc_tpu {j_final:.3f}")
+    return rows
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="mcnn", choices=["mcnn", "bl"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    ab_run(a.family, a.epochs, a.lr, a.seed)

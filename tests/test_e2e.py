@@ -178,6 +178,10 @@ def test_mesh_config_data_parallel_training(tmp_path, synth_root):
     t = DGTrainer(cfg)
     t.build()
     assert t.dp_mesh is not None
+    # per-epoch val/test counts through the mesh-sharded tile counter
+    from dgvcc_tpu.parallel.eval import ShardedTiledCounter
+
+    assert isinstance(t.counter, ShardedTiledCounter)
     best, _ = t.train(num_epochs=1)
     assert np.isfinite(best)
     log = open(os.path.join(t.log_dir, "log.txt")).read()
@@ -326,3 +330,23 @@ def test_load_ckpt_pair_validation(tmp_path, synth_root):
     with _pytest.raises(ValueError, match="pair checkpoint"):
         t.load_ckpt(["a", "b", "c"])
     t.load_ckpt([None])  # 1-element: gen only (no-op for non-joint)
+
+
+def test_progress_line():
+    """utils.misc.progress: easy_track parity — emits a CR status line
+    when enabled, total silence when not a TTY."""
+    import io
+
+    from dgvcc_tpu.utils.misc import progress
+
+    buf = io.StringIO()
+    out = list(progress(range(5), "Testing...", enabled=True, stream=buf,
+                        min_interval=0.0))
+    assert out == list(range(5))
+    s = buf.getvalue()
+    assert "Testing..." in s and "5/5" in s and "100%" in s
+    assert s.endswith("\n")
+
+    quiet = io.StringIO()  # StringIO has no isatty=True → silent
+    list(progress(range(3), "x", stream=quiet))
+    assert quiet.getvalue() == ""

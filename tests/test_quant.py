@@ -151,3 +151,102 @@ def test_quant_site_inventory(small_final):
     assert set(enc_sites) <= quantized
     assert {"dec3_0", "dec2_0", "dec1_0", "den_dec", "cls_conv1"} <= quantized
     assert "den_head" not in quantized and "cls_conv2" not in quantized
+
+
+# ---------------------------------------------------------------------------
+# Generic conv(+BN) families: csrnet / mcnn / bl / sasnet (nn/quant.py
+# QuantizedConvNet — round-3 extension of the DG-only path)
+# ---------------------------------------------------------------------------
+
+def _rand_vars(model, rng, x):
+    """Init + randomize for models without dropout collections; BN-free
+    families have no batch_stats key."""
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+    variables = jax.tree.map(np.asarray, dict(variables))
+
+    def walk(tree, fn, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, fn, path + (k,)) for k, v in tree.items()}
+        return fn(path, tree)
+
+    def perturb_stats(path, leaf):
+        if path[-1] == "var":
+            return rng.uniform(0.5, 2.0, leaf.shape).astype(np.float32)
+        if path[-1] == "mean":
+            return rng.uniform(-0.5, 0.5, leaf.shape).astype(np.float32)
+        return leaf
+
+    def perturb_params(path, leaf):
+        if path[-1] == "scale":
+            return rng.uniform(0.5, 1.5, leaf.shape).astype(np.float32)
+        if path[-1] == "bias":
+            return rng.uniform(-0.3, 0.3, leaf.shape).astype(np.float32)
+        return leaf
+
+    if "batch_stats" in variables:
+        variables["batch_stats"] = walk(variables["batch_stats"],
+                                        perturb_stats)
+    variables["params"] = walk(variables["params"], perturb_params)
+    return jax.tree.map(jnp.asarray, variables)
+
+
+BASELINE_QUANT_CASES = [
+    ("csrnet", {}),
+    ("mcnn", {}),
+    ("bl", {}),
+    ("bl", {"batch_norm": True}),
+    ("sasnet", {}),
+]
+
+
+@pytest.mark.parametrize("name,kw", BASELINE_QUANT_CASES,
+                         ids=["csrnet", "mcnn", "bl", "bl_bn", "sasnet"])
+def test_baseline_folded_fp_matches_flax_eval(name, kw):
+    from dgvcc_tpu.nn.quant import QuantizedConvNet, _family_spec
+
+    model = MODELS.build(name, **kw)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = _rand_vars(model, rng, x)
+    ref = np.asarray(model.apply(variables, x, train=False))
+
+    fold_fn, fwd_fn, fp_sites = _family_spec(model)
+    q = QuantizedConvNet(fold_fn(variables), {}, fwd_fn, fp_sites,
+                         dtype=jnp.float32)
+    out = np.asarray(q._forward(q.qparams, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-3,
+                               atol=1e-4 * max(np.abs(ref).max(), 1.0))
+
+
+@pytest.mark.parametrize("name,kw", BASELINE_QUANT_CASES,
+                         ids=["csrnet", "mcnn", "bl", "bl_bn", "sasnet"])
+def test_baseline_int8_counts_track_fp(name, kw):
+    from dgvcc_tpu.nn.quant import build_quantized
+
+    model = MODELS.build(name, **kw)
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = _rand_vars(model, rng, x)
+    ref = np.asarray(model.apply(variables, x, train=False), np.float32)
+
+    # min_ch=0: quantize EVERY site so the accuracy bound is tested on
+    # the full int8 graph (the serving default min_ch=128 keeps thin
+    # sites bf16 for speed — measured in BENCH_NOTES.md)
+    q = build_quantized(model, variables, x, dtype=jnp.float32, min_ch=0)
+    out = np.asarray(q(x), np.float32)
+    cnt8 = out.sum(axis=(1, 2, 3))
+    cntf = ref.sum(axis=(1, 2, 3))
+    rel = np.abs(cnt8 - cntf) / np.maximum(np.abs(cntf), 1e-6)
+    assert np.all(rel < 0.05), (name, cnt8, cntf)
+
+
+def test_build_quantized_rejects_whitening():
+    from dgvcc_tpu.nn.quant import build_quantized
+
+    model = MODELS.build("sw", layers=(1, 1, 1))
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x)
+    with pytest.raises(ValueError, match="whitening"):
+        build_quantized(model, dict(v), x)

@@ -176,3 +176,63 @@ def test_cli_serve_task(tmp_path, capsys):
     lines = [ln for ln in out.splitlines() if ln.startswith("f")]
     assert len(lines) == 3 and all(np.isfinite(float(ln.split()[1]))
                                    for ln in lines)
+
+
+@pytest.mark.parametrize("name", ["csrnet", "mcnn", "bl"])
+def test_video_counter_quantized_baselines(name):
+    """quantize=True now covers the conv(+BN) baselines through the
+    generic QuantizedConvNet path (nn/quant.py, round 3)."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    fp = VideoCounter.from_checkpoint(name, None, dtype=jnp.float32)
+    q = VideoCounter.from_checkpoint(name, None, dtype=jnp.float32,
+                                     quantize=True, calib_frames=frames)
+    assert q.quantized is not None
+    c_fp = fp.count_frames(frames)
+    c_q = q.count_frames(frames)
+    assert np.isfinite(c_q).all()
+    np.testing.assert_allclose(c_q, c_fp,
+                               rtol=0.05, atol=0.05 * max(1.0, abs(c_fp).max()))
+
+
+def test_video_counter_quantize_rejects_whitening():
+    from dgvcc_tpu.serve import VideoCounter
+
+    with pytest.raises(ValueError, match="quantize=True supports"):
+        VideoCounter.from_checkpoint("sw", None, quantize=True,
+                                     layers=(1, 1, 1))
+
+
+def test_video_counter_tiled_large_frames():
+    """Frames above tile_threshold route through the tiled path: same
+    fused uint8 graph over a (B, T, t, t, 3) tile batch. Counts track
+    the whole-frame path (boundary-conv differences only) and padded
+    tile borders contribute zero."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, (2, 100, 150, 3), dtype=np.uint8)
+
+    whole = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                         tile_size=0)
+    tiled = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                         tile_size=64, tile_threshold=96)
+    c_whole = whole.count_frames(frames)
+    c_tiled = tiled.count_frames(frames)
+    assert np.isfinite(c_tiled).all()
+    # tile-border conv halos only — counts agree to a few percent
+    np.testing.assert_allclose(c_tiled, c_whole, rtol=0.1,
+                               atol=0.1 * max(1.0, np.abs(c_whole).max()))
+    # deterministic
+    np.testing.assert_allclose(c_tiled, tiled.count_frames(frames),
+                               rtol=1e-6)
+    # grid independence: a different tile size pads the grid
+    # differently; the per-tile valid masks must zero all of it, so the
+    # counts agree up to boundary-conv halos
+    g96 = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                       tile_size=96, tile_threshold=96)
+    c_96 = g96.count_frames(frames)
+    np.testing.assert_allclose(c_96, c_tiled, rtol=0.1,
+                               atol=0.1 * max(1.0, np.abs(c_tiled).max()))

@@ -168,3 +168,29 @@ def test_memory_attention_tensor_parallel_exact():
     tp_fn = memory_attention_tp(mesh)
     out = np.asarray(tp_fn(y, shard_memory(mesh, mem)))
     np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_tiled_counter_matches_single_device():
+    """The trainer's mesh eval counter (ShardedTiledCounter) == the
+    single-device TiledCounter on both the tiled and whole-image paths."""
+    from dgvcc_tpu.ops.tiling import TiledCounter
+    from dgvcc_tpu.parallel.eval import ShardedTiledCounter
+
+    mesh = make_mesh(8)
+    model, state = make_state("base")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def apply_fn(v, tiles):
+        return model.apply(v, tiles)
+
+    sc = ShardedTiledCounter(apply_fn, 1000.0, 32, mesh)
+    tc = TiledCounter(apply_fn, 1000.0, patch_size=32)
+    rng = np.random.default_rng(5)
+    for shape in ((70, 90, 3), (20, 24, 3)):  # tiled + whole-image
+        img = rng.normal(size=shape).astype(np.float32)
+        assert sc.count(variables, img) == pytest.approx(
+            tc.count(variables, img), rel=1e-4)
+    # vis path delegates to the single-device stitcher
+    img = rng.normal(size=(70, 90, 3)).astype(np.float32)
+    np.testing.assert_allclose(sc.density_map(variables, img),
+                               tc.density_map(variables, img), rtol=1e-5)
