@@ -700,7 +700,7 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
     from dgvcc_tpu.models.dg import DGModel
     from dgvcc_tpu.models.regressors import DensityRegressorM, Generator
     from dgvcc_tpu.models.whitening import (
-        IBNCounterResNet, ISWCounterResNet, SWCounterResNet)
+        IBNCounterResNet, ISWCounterResNet, SWCounterResNet, SWCounterVGG)
     from dgvcc_tpu.nn.resnet import RESNET_LAYERS
 
     try:
@@ -716,6 +716,8 @@ def load_reference_checkpoint(variables: Dict, sd: Dict[str, np.ndarray],
             p, s = mcnn_checkpoint_to_flax(sd)
         elif isinstance(model, BLVGG):
             p, s = bl_checkpoint_to_flax(sd, batch_norm=model.batch_norm)
+        elif isinstance(model, SWCounterVGG):
+            p, s = sw_vgg_checkpoint_to_flax(sd)
         elif isinstance(model, SWCounterResNet):
             p, s = sw_counter_checkpoint_to_flax(
                 sd,
@@ -844,6 +846,36 @@ def _sw_site(sd: Dict[str, np.ndarray], pref: str) -> Tuple[Dict, Dict]:
     s = {"running_mean": np.asarray(sd[f"{pref}.running_mean"], np.float32),
          "running_cov": np.asarray(sd[f"{pref}.running_cov"], np.float32)}
     return p, s
+
+
+def sw_vgg_checkpoint_to_flax(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Trained reference SWCounter_VGG (SW/__init__.py:12-22) → our
+    models/whitening.py::SWCounterVGG.
+
+    The SW vgg features Sequential is conv/SW/relu per cfg-'E' entry
+    plus pools (SW/backbones/vgg.py:64-77, cfg without a trailing pool);
+    our conv{pos}/sw{pos} names index cfg positions. reg head at
+    vgg.reg_layer.{0,2,4} (vgg.py:20-26)."""
+    from dgvcc_tpu.nn.vgg import VGG19_CFG
+
+    params: Dict = {}
+    stats: Dict = {}
+    ti = 0  # torch Sequential index inside vgg.features
+    for pos, v in enumerate(VGG19_CFG[:-1]):
+        if v == "M":
+            ti += 1
+            continue
+        pre = f"vgg.features.{ti}"
+        params[f"conv{pos}"] = {"kernel": conv_to_flax(sd[f"{pre}.weight"]),
+                                "bias": sd[f"{pre}.bias"]}
+        p, s = _sw_site(sd, f"vgg.features.{ti + 1}")
+        params[f"sw{pos}"], stats[f"sw{pos}"] = p, s
+        ti += 3
+    for name, i in (("reg1", 0), ("reg2", 2), ("reg3", 4)):
+        pre = f"vgg.reg_layer.{i}"
+        params[name] = {"kernel": conv_to_flax(sd[f"{pre}.weight"]),
+                        "bias": sd[f"{pre}.bias"]}
+    return params, stats
 
 
 def _bottleneck_to_flax(sd: Dict[str, np.ndarray], pref: str,

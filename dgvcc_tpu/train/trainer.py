@@ -41,6 +41,14 @@ from dgvcc_tpu.utils.misc import (AverageMeter, DictAvgMeter,
                                   seed_everything)
 
 
+# models the reference drives through main_base.py / BaseTrainer
+# (main_base.py:36-52) — they inherit its protocol quirks: test after
+# every epoch AND predict-tiling hard-coded at 800 px regardless of the
+# config patch_size (basetrainer.py:51-66)
+_BASETRAINER_MODELS = frozenset({"csrnet", "mcnn", "sasnet", "dssinet",
+                                 "cctrans", "bl", "dgnet", "dgnet_cls"})
+
+
 class DGTrainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -236,16 +244,27 @@ class DGTrainer:
         def apply_fn(variables, tiles):
             return self.model.apply(variables, tiles)
 
+        # eval tiling size: BaseTrainer-family models tile predictions
+        # at a hard-coded 800 px in the reference (basetrainer.py:51-66)
+        # — honor that for metric parity; DGTrainer models use the
+        # config patch_size (dgtrainer.py:71-84). ``eval_patch_size``
+        # in the config overrides either.
+        eval_ps = self.cfg.extra.get("eval_patch_size")
+        if eval_ps is None:
+            eval_ps = (800 if cfg.model["name"] in _BASETRAINER_MODELS
+                       else self.patch_size)
+        self.eval_patch_size = int(eval_ps)
         if self.dp_mesh is not None:
             # shard the val/test tile batches over the data axis — all
             # chips count, instead of N-1 idling through the eval loop
             from dgvcc_tpu.parallel.eval import ShardedTiledCounter
 
             self.counter = ShardedTiledCounter(
-                apply_fn, self.log_para, self.patch_size, self.dp_mesh)
+                apply_fn, self.log_para, self.eval_patch_size,
+                self.dp_mesh)
         else:
             self.counter = TiledCounter(apply_fn, self.log_para,
-                                        self.patch_size)
+                                        self.eval_patch_size)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
 
         # ISW two-pass covariance protocol (dgtrainer.py:86-102).
@@ -706,9 +725,7 @@ class DGTrainer:
         knob = self.cfg.extra.get("test_every_epoch")
         if knob is not None:
             return bool(knob)
-        base_models = {"csrnet", "mcnn", "sasnet", "dssinet", "cctrans",
-                       "bl", "dgnet", "dgnet_cls"}
-        return self.cfg.model["name"] in base_models
+        return self.cfg.model["name"] in _BASETRAINER_MODELS
 
     def train_and_test(self, checkpoint=None, num_epochs: Optional[int] = None):
         """Test on the target domain when val improves (dgtrainer.py:

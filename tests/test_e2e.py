@@ -350,3 +350,35 @@ def test_progress_line():
     quiet = io.StringIO()  # StringIO has no isatty=True → silent
     list(progress(range(3), "x", stream=quiet))
     assert quiet.getvalue() == ""
+
+
+def test_basetrainer_family_eval_tile_default(tmp_path, synth_root):
+    """BaseTrainer-family models honor the reference's hard-coded 800px
+    predict tiling (basetrainer.py:51-66); DG-family models use the
+    config patch_size; eval_patch_size overrides both."""
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "tile800_dg"
+    t = DGTrainer(cfg)
+    t.build()
+    assert t.counter.patch_size == cfg.patch_size  # DG family: config
+
+    cfg2 = load_config(cfg_path)
+    cfg2.version = "tile800_base"
+    cfg2.model = {"name": "mcnn", "params": {"pretrained": False}}
+    cfg2.mode = "simple"
+    t2 = DGTrainer(cfg2)
+    t2.build()
+    assert t2.counter.patch_size == 800  # BaseTrainer family: 800
+
+    cfg3 = load_config(cfg_path)
+    cfg3.version = "tile800_override"
+    cfg3.model = {"name": "mcnn", "params": {"pretrained": False}}
+    cfg3.mode = "simple"
+    cfg3.extra["eval_patch_size"] = 512
+    t3 = DGTrainer(cfg3)
+    t3.build()
+    assert t3.counter.patch_size == 512

@@ -224,3 +224,16 @@ def test_cctrans_eval_parity():
     if isinstance(out, tuple):
         out = out[0]
     assert_forward_close(out, golden, what="cctrans")
+
+
+def test_sw_vgg_counter_eval_parity():
+    """Bonus 13th family: SWCounter_VGG (SW/__init__.py:12-22) — the SW
+    backbone zoo's VGG19 counter, full checkpoint migration + parity."""
+    SW = ref_import("models.SW")
+    ref = SW.SWCounter_VGG()
+    sd = randomize_state_dict(ref, 125)
+    x_t, x_j = _input(25)
+    with torch.no_grad():
+        golden = ref(x_t)
+    out = _ours("sw_vgg", sd, x_j)
+    assert_forward_close(out, golden, what="sw_vgg")
