@@ -64,6 +64,18 @@ def tile_image(img: np.ndarray, patch_size: int) -> Tuple[np.ndarray, np.ndarray
     return tiles, masks, nh, nw
 
 
+def pool_mask_to(masks: jnp.ndarray, d_shape) -> jnp.ndarray:
+    """Pool a full-res pixel mask to a model's density grid. Models may
+    predict at a coarser stride (CSRNet 1/8, MCNN 1/4 ...); each density
+    cell is weighted by its real-pixel fraction. Shared by the
+    single-device and mesh-sharded counters so the two cannot drift."""
+    if masks.shape[1] == d_shape[1]:
+        return masks
+    n, mh, mw, _ = masks.shape
+    f = mh // d_shape[1]
+    return masks.reshape(n, d_shape[1], f, d_shape[2], f, 1).mean(axis=(2, 4))
+
+
 class TiledCounter:
     """Patch-tiled density counting with a bounded compile set.
 
@@ -83,13 +95,7 @@ class TiledCounter:
             out = apply_fn(variables, tiles)
             d = out[0] if isinstance(out, tuple) else out
             d = d.astype(jnp.float32)
-            # models may predict at a coarser stride (CSRNet 1/8, MCNN
-            # 1/4 ...); pool the pixel mask to the density grid so each
-            # density cell is weighted by its real-pixel fraction
-            if masks.shape[1] != d.shape[1]:
-                n, mh, mw, _ = masks.shape
-                f = mh // d.shape[1]
-                masks = masks.reshape(n, d.shape[1], f, d.shape[2], f, 1).mean(axis=(2, 4))
+            masks = pool_mask_to(masks, d.shape)
             return jnp.sum(d * masks) / log_para
 
         @jax.jit

@@ -26,14 +26,12 @@ def build_sharded_tile_counter(apply_fn: Callable, log_para: float, mesh):
     the axis size (ops/tiling.py buckets make that easy)."""
 
     def per_shard(variables, tiles, masks):
+        from dgvcc_tpu.ops.tiling import pool_mask_to
+
         out = apply_fn(variables, tiles)
         d = out[0] if isinstance(out, tuple) else out
         d = d.astype(jnp.float32)
-        if masks.shape[1] != d.shape[1]:
-            n, mh, mw, _ = masks.shape
-            f = mh // d.shape[1]
-            masks = masks.reshape(n, d.shape[1], f, d.shape[2], f, 1).mean(axis=(2, 4))
-        local = jnp.sum(d * masks) / log_para
+        local = jnp.sum(d * pool_mask_to(masks, d.shape)) / log_para
         return jax.lax.psum(local, DATA_AXIS)
 
     sm = jax.shard_map(

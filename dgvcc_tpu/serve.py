@@ -127,6 +127,14 @@ class VideoCounter:
         c = np.asarray(calib_frames)
         if c.dtype == np.uint8:  # same normalize as infer()
             c = (c.astype(np.float32) / 255.0 - 0.5) / 0.5
+        # activation absmax only needs representative pixels — cap the
+        # calibration crop so lazy calibration on a giant first frame
+        # never runs one monolithic multi-megapixel f32 program (the
+        # exact blowup the tiled serving path exists to avoid)
+        ch, cw = min(c.shape[1], 768), min(c.shape[2], 768)
+        ch -= ch % 64
+        cw -= cw % 64
+        c = c[:, :max(ch, 64), :max(cw, 64)]
         self.quantized = build_quantized(
             self.model, self.variables, jnp.asarray(c, jnp.float32),
             dtype=self.dtype)

@@ -664,7 +664,7 @@ class DGTrainer:
         def apply_fn(_variables, tiles):
             return q._forward(q.qparams, tiles)
 
-        return TiledCounter(apply_fn, self.log_para, self.patch_size)
+        return TiledCounter(apply_fn, self.log_para, self.eval_patch_size)
 
     def test(self, checkpoint=None, loader=None):
         self.build()

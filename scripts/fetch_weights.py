@@ -101,7 +101,7 @@ def fetch(name: str, dest: str) -> str:
         return path
     tmp = path + ".part"
     print(f"  {name}: downloading {url}")
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+    with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
         while True:
             chunk = r.read(1 << 20)
             if not chunk:

@@ -45,6 +45,16 @@ enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
 
 # nodeid substrings of trace-bound tests (everything ≥9 s warm)
 HEAVY = (
+    "test_ab_compare.py::test_ab_lockstep",
+    # the big eval-parity oracles (full alt_gvt / vgg16_bn-U graphs in
+    # eager flax on this 1-core host; csrnet/mcnn/bl/... stay fast-lane)
+    "test_eval_parity.py::test_cctrans_eval_parity",
+    "test_eval_parity.py::test_sasnet_eval_parity",
+    "test_eval_parity.py::test_sw_vgg_counter_eval_parity",
+    "test_quant.py::test_baseline_folded_fp_matches_flax_eval[sasnet]",
+    "test_quant.py::test_baseline_folded_fp_matches_flax_eval[bl_bn]",
+    "test_quant.py::test_baseline_int8_counts_track_fp[sasnet]",
+    "test_quant.py::test_baseline_int8_counts_track_fp[bl_bn]",
     "test_graft_entry.py::test_dryrun_multichip",
     "test_e2e.py::test_base_model_tests_every_epoch",
     "test_e2e.py::test_cli_train_test_end_to_end",

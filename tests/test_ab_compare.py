@@ -1,0 +1,22 @@
+"""scripts/ab_compare.py harness: the two frameworks must stay in
+lockstep (identical init + identical batches) — per-epoch losses agree
+to ~1e-4 relative and val MAE to ~1e-2 absolute."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+@pytest.mark.heavy
+def test_ab_lockstep_mcnn():
+    import ab_compare
+
+    rows = ab_compare.ab_run("mcnn", epochs=2, lr=1e-4, seed=3)
+    assert len(rows) == 2
+    for epoch, tl, jl, tmae, jmae in rows:
+        assert abs(tl - jl) / max(abs(tl), 1e-6) < 1e-3, (epoch, tl, jl)
+        assert abs(tmae - jmae) < 0.05, (epoch, tmae, jmae)
