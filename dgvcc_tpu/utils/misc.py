@@ -141,15 +141,23 @@ class DictAvgMeter:
 
 
 def seed_everything(seed: int):
-    """Seed python/numpy RNGs (reference utils/misc.py:124-132).
+    """Seed python/numpy (+torch if present) RNGs (reference
+    utils/misc.py:124-132).
 
     JAX randomness is explicit (jax.random keys derived from this seed by
     callers), so no global JAX seeding is needed — determinism is the
-    default under jit.
+    default under jit. torch is seeded too when importable so user
+    extensions that recompute goldens torch-side stay reproducible.
     """
     random.seed(seed)
     os.environ["PYTHONHASHSEED"] = str(seed)
     np.random.seed(seed)
+    try:  # cpu-torch ships in this image but is not a core dependency
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
 
 
 def get_current_datetime() -> str:
