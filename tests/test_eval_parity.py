@@ -114,7 +114,9 @@ def test_sasnet_eval_parity():
     SA = ref_import("models.baselines.SASNet")
     ref = SA.SASNet(pretrained=False)
     sd = randomize_state_dict(ref, 109)
-    x_t, x_j = _input(9)
+    # rectangular input: catches H/W transposition in the adaptive
+    # confidence pooling (2x3 blocks) and the size-targeted resizes
+    x_t, x_j = _input(9, shape=(2, 3, 64, 96))
     with torch.no_grad():
         golden = ref(x_t)
     out = _ours("sasnet", sd, x_j, init_kwargs={"train": False})

@@ -135,3 +135,29 @@ def test_remat_gradients_match():
     for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_resize_bilinear_ac_matches_torch():
+    """resize_bilinear_ac == F.interpolate(align_corners=True) on
+    integer and non-integer ratios, up and down (the legacy
+    F.upsample_bilinear semantics used across the baselines)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from dgvcc_tpu.nn.layers import resize_bilinear_ac, upsample
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, 9, 13, 4)).astype(np.float32)
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    for hw in ((18, 26), (27, 39), (5, 7), (9, 13), (16, 20)):
+        got = np.asarray(resize_bilinear_ac(jnp.asarray(x), hw))
+        want = TF.interpolate(xt, size=hw, mode="bilinear",
+                              align_corners=True).numpy()
+        np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(hw))
+    # the upsample(..., align_corners=True) wrapper routes here
+    got = np.asarray(upsample(jnp.asarray(x), 2, align_corners=True))
+    want = TF.interpolate(xt, scale_factor=2, mode="bilinear",
+                          align_corners=True).numpy()
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)),
+                               rtol=1e-5, atol=1e-5)
