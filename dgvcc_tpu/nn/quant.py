@@ -1,4 +1,10 @@
-"""Int8 post-training-quantization (PTQ) serving path for the DG family.
+"""Int8 post-training-quantization (PTQ) serving paths.
+
+Covers the DG family (:class:`QuantizedDG`, the original hand-tuned
+graph) and, generically, every feed-forward conv(+BN) baseline —
+CSRNet / MCNN / BL-VGG / SASNet — via :class:`QuantizedConvNet` with a
+small fold/forward spec per family and selective (min-channel) site
+quantization. Entry point: :func:`build_quantized`.
 
 TPU v5e executes int8 x int8 -> int32 convolutions at ~2x the bf16
 MXU rate (measured on this chip: 367 TOP/s vs 172 TF/s for a 512-ch

@@ -382,3 +382,48 @@ def test_basetrainer_family_eval_tile_default(tmp_path, synth_root):
     t3 = DGTrainer(cfg3)
     t3.build()
     assert t3.counter.patch_size == 512
+
+
+def test_quantized_test_task_baseline(tmp_path, synth_root):
+    """test_quantized now covers the conv(+BN) baselines: an mcnn run's
+    int8 test path produces finite metrics close to the fp test (mcnn
+    falls back to bf16 under selective quantization — the plumbing and
+    the metric-neutrality contract are what's exercised)."""
+    import re
+    import yaml as _yaml
+
+    from dgvcc_tpu.cli.main import run
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root, mode="simple")
+    d = _yaml.safe_load(open(cfg_path))
+    d["model"] = {"name": "mcnn", "params": {"pretrained": False}}
+    ds = dict(d["train_dataset"]); ds["name"] = "den"
+    ds["params"] = dict(ds["params"], downsample=4)
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    d["version"] = "quant_base"
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+
+    cfg = load_config(cfg_path)
+    t = DGTrainer(cfg)
+    t.build()
+    t.train(num_epochs=1)
+    t.test()
+    log = open(os.path.join(t.log_dir, "log.txt")).read()
+    mae_fp = float(re.search(r"Testing results: mae: ([\d.]+)", log).group(1))
+
+    cfg2 = load_config(cfg_path)
+    cfg2.version = "quant_base_int8"
+    cfg2.extra["test_quantized"] = True
+    cfg2.checkpoint = os.path.join(t.log_dir, "last.ckpt")
+    t2 = DGTrainer(cfg2)
+    t2.build()
+    t2.load_ckpt(cfg2.checkpoint)
+    t2.test()
+    log2 = open(os.path.join(t2.log_dir, "log.txt")).read()
+    assert "int8 PTQ" in log2
+    mae_q = float(re.search(r"Testing results: mae: ([\d.]+)", log2).group(1))
+    assert np.isfinite(mae_q)
+    # metric-neutral: same weights, same 800px eval tiling both paths
+    assert abs(mae_q - mae_fp) <= 0.05 * max(mae_fp, 1.0), (mae_q, mae_fp)
