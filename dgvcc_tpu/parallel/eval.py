@@ -50,6 +50,21 @@ def build_sharded_tile_counter(apply_fn: Callable, log_para: float, mesh):
                                                     tiles.dtype)])
             masks = np.concatenate([masks, np.zeros((pad,) + masks.shape[1:],
                                                     masks.dtype)])
+        if jax.process_count() > 1:
+            # pod: device_put with a global sharding would touch
+            # non-addressable devices. Eval loaders are whole-dataset on
+            # every host, so each process contributes its deterministic
+            # slice and the global array is assembled the pod way
+            # (parallel/multihost.py::host_shard_batch).
+            from dgvcc_tpu.parallel.multihost import host_shard_batch
+
+            pc = jax.process_count()
+            chunk = tiles.shape[0] // pc
+            lo = jax.process_index() * chunk
+            local = {"tiles": tiles[lo:lo + chunk],
+                     "masks": masks[lo:lo + chunk]}
+            g = host_shard_batch(mesh, local)
+            return float(jitted(variables, g["tiles"], g["masks"]))
         tiles = jax.device_put(jnp.asarray(tiles), NamedSharding(mesh, P(DATA_AXIS)))
         masks = jax.device_put(jnp.asarray(masks), NamedSharding(mesh, P(DATA_AXIS)))
         return float(jitted(variables, tiles, masks))
