@@ -37,7 +37,8 @@ def main():
     from dgvcc_tpu.core.registry import MODELS
     import dgvcc_tpu.models  # noqa: F401
 
-    H, W, B = 768, 1024, 16  # B=16 sweeps ~18% faster than B=4 on v5e
+    H, W, B = 768, 1024, 32  # batch sweep on v5e (int8 serving):
+    # B=16 200.7, B=24 175.3, B=32 204.6, B=48 182.8 fps — 32 wins
     # fused_mem: Pallas memory-bank attention, +14% over the einsum path
     model = MODELS.build("final", dtype=jnp.bfloat16, fused_mem=True)
     init_x = jnp.zeros((1, H, W, 3), jnp.bfloat16)
