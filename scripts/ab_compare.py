@@ -58,10 +58,27 @@ def make_loader(root, downsample, seed):
             val)
 
 
-def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
+def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
+           optimizer: str = "adam"):
+    """optimizer='sgd' is the numerics-identity mode: with BN-deep
+    graphs (dg_base), cross-implementation float noise (~1e-4 after 13
+    train-mode BNs even on CPU) flips the SIGN of near-zero gradients,
+    and Adam's first-step ±lr·sign(g) turns each flip into a full-size
+    parameter divergence — per-epoch losses then differ ~5% while the
+    trajectories still track (measured, BENCH_NOTES "dg_base A/B").
+    SGD keeps updates proportional to the gradient, so losses agree to
+    ~1e-4 relative and the harness itself is provably lockstep."""
     import numpy as np
     import torch
     import jax
+
+    # Numerics-identity harness: keep f32 convs true-f32 on TPU. Under
+    # the default precision TPU lowers f32 convs to bf16 passes; the
+    # residue is invisible in eval (tiny un-normalized outputs) but
+    # train-mode BN normalizes activations to O(1), turning it into
+    # ~1e-1 prediction drift (measured: dg_base train-forward diff
+    # 0.144 default vs 1.3e-4 on CPU / highest).
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     import optax
 
@@ -70,14 +87,23 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
     from dgvcc_tpu.core.registry import MODELS
     from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
 
+    build_kw = {}
     if family == "mcnn":
         ref = ref_import("models.baselines.MCNN").MCNN()
         downsample = 4
     elif family == "bl":
         ref = ref_import("models.baselines.BL").BL_VGG(pretrained=False)
         downsample = 8
+    elif family == "dg_base":
+        # the flagship DG family, dropout disabled so train-mode
+        # forwards are deterministic (models.py:29-96) — train-mode BN
+        # batch stats compute identically on both sides
+        ref = ref_import("models.models").DGModel_base(
+            pretrained=False, den_dropout=0.0)
+        downsample = 1
+        build_kw = {"den_dropout": 0.0, "pretrained": False}
     else:
-        raise SystemExit(f"unsupported family {family} (mcnn | bl)")
+        raise SystemExit(f"unsupported family {family} (mcnn | bl | dg_base)")
     torch.manual_seed(seed)
 
     root = tempfile.mkdtemp(prefix=f"ab_{family}_")
@@ -86,31 +112,45 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
 
     # identical initial weights via the tested converter
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    model = MODELS.build(family)
-    v = model.init({"params": jax.random.PRNGKey(0)},
-                   jnp.zeros((1, 64, 64, 3)), train=False)
+    model = MODELS.build({"dg_base": "base"}.get(family, family), **build_kw)
+    has_bn = family == "dg_base"
+    init_rngs = {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}
+    v = model.init(init_rngs, jnp.zeros((1, 64, 64, 3)), train=False)
     v2 = load_reference_checkpoint(dict(v), sd, model)
     params = v2["params"]
+    bstats = v2.get("batch_stats", {})
 
-    tx = optax.adam(lr)
+    tx = optax.sgd(lr) if optimizer == "sgd" else optax.adam(lr)
     opt_state = tx.init(params)
 
     @jax.jit
-    def jstep(params, opt_state, img, dmap):
+    def jstep(params, bstats, opt_state, img, dmap):
         def loss_fn(p):
-            pred = model.apply({"params": p}, img, train=False)
-            return jnp.mean((pred - dmap * LOG_PARA) ** 2)
+            if has_bn:  # train-mode BN: batch stats, like torch .train()
+                pred, nv = model.apply(
+                    {"params": p, "batch_stats": bstats}, img, train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+                nbs = nv["batch_stats"]
+            else:
+                pred = model.apply({"params": p}, img, train=False)
+                nbs = bstats
+            return jnp.mean((pred - dmap * LOG_PARA) ** 2), nbs
 
-        loss, g = jax.value_and_grad(loss_fn)(params)
+        (loss, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return optax.apply_updates(params, updates), nbs, opt_state2, loss
 
     @jax.jit
-    def jpred(params, img):
-        return jnp.sum(model.apply({"params": params}, img,
-                                   train=False)) / LOG_PARA
+    def jpred(params, bstats, img):
+        vv = {"params": params}
+        if has_bn:
+            vv["batch_stats"] = bstats
+        return jnp.sum(model.apply(vv, img, train=False)) / LOG_PARA
 
-    topt = torch.optim.Adam(ref.parameters(), lr=lr)
+    topt = (torch.optim.SGD(ref.parameters(), lr=lr) if optimizer == "sgd"
+            else torch.optim.Adam(ref.parameters(), lr=lr))
     tloss = torch.nn.MSELoss()
 
     def torch_step(img_nhwc, dmap_nhwc):
@@ -133,7 +173,7 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
             with torch.no_grad():
                 tp = float(ref(torch.tensor(
                     np.transpose(img, (0, 3, 1, 2)))).sum()) / LOG_PARA
-            jp = float(jpred(params, jnp.asarray(img)))
+            jp = float(jpred(params, bstats, jnp.asarray(img)))
             tm.append(abs(tp - gt))
             jm.append(abs(jp - gt))
         ref.train()
@@ -152,9 +192,9 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
             img = np.asarray(batch["img1"], np.float32)
             dmap = np.asarray(batch["dmap"], np.float32)
             tl += torch_step(img, dmap)
-            params, opt_state, l2 = jstep(params, opt_state,
-                                          jnp.asarray(img),
-                                          jnp.asarray(dmap))
+            params, bstats, opt_state, l2 = jstep(params, bstats, opt_state,
+                                                  jnp.asarray(img),
+                                                  jnp.asarray(dmap))
             jl += float(l2)
             nb += 1
         tmae, jmae = val_mae()
@@ -170,9 +210,11 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", default="mcnn", choices=["mcnn", "bl"])
+    ap.add_argument("--family", default="mcnn",
+                    choices=["mcnn", "bl", "dg_base"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     a = ap.parse_args()
-    ab_run(a.family, a.epochs, a.lr, a.seed)
+    ab_run(a.family, a.epochs, a.lr, a.seed, a.optimizer)

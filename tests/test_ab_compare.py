@@ -20,3 +20,17 @@ def test_ab_lockstep_mcnn():
     for epoch, tl, jl, tmae, jmae in rows:
         assert abs(tl - jl) / max(abs(tl), 1e-6) < 1e-3, (epoch, tl, jl)
         assert abs(tmae - jmae) < 0.05, (epoch, tmae, jmae)
+
+
+@pytest.mark.heavy
+def test_ab_lockstep_dg_base_sgd():
+    """The flagship DG family with train-mode BatchNorm: under SGD the
+    two frameworks stay numerically lockstep (Adam amplifies float
+    noise through gradient-sign flips — see ab_run docstring)."""
+    import ab_compare
+
+    rows = ab_compare.ab_run("dg_base", epochs=1, lr=1e-4, seed=3,
+                             optimizer="sgd")
+    (epoch, tl, jl, tmae, jmae), = rows
+    assert abs(tl - jl) / max(abs(tl), 1e-6) < 2e-3, (tl, jl)
+    assert abs(tmae - jmae) < 0.05, (tmae, jmae)
