@@ -47,9 +47,22 @@ def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False):
             np.asarray(Image.open(os.path.join(frames_dir, n))
                        .convert("RGB").resize((256, 256)), np.uint8)
             for n in first])
+    mesh = None
+    dp = int((cfg.mesh or {}).get("data", 1))
+    if dp > 1:
+        # config `mesh: {data: N}` serves data-parallel: the frame
+        # batch shards over N chips (serve.py VideoCounter mesh path)
+        import jax
+
+        from dgvcc_tpu.parallel import make_mesh
+
+        if dp > len(jax.devices()):
+            raise SystemExit(
+                f"mesh data={dp} but only {len(jax.devices())} devices")
+        mesh = make_mesh(dp)
     counter = VideoCounter.from_checkpoint(
         cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
-        quantize=quantize, calib_frames=calib,
+        quantize=quantize, calib_frames=calib, mesh=mesh,
         **cfg.model.get("params", {}))
 
     def batches():

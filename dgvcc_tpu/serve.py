@@ -16,6 +16,7 @@ Usage:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Iterable, Iterator, Optional
 
@@ -32,12 +33,22 @@ class VideoCounter:
     def __init__(self, model, variables, log_para: float = 1000.0,
                  bucket: int = 64, dtype=jnp.bfloat16, quantize: bool = False,
                  calib_frames: Optional[np.ndarray] = None,
-                 tile_size: int = 768, tile_threshold: int = 4096):
+                 tile_size: int = 768, tile_threshold: int = 4096,
+                 mesh=None):
         self.model = model
         self.variables = variables
         self.log_para = log_para
         self.bucket = bucket
         self.dtype = dtype
+        # data-parallel serving: with a jax.sharding.Mesh (axis 'data'),
+        # weights replicate and the frame batch shards over the axis —
+        # per-frame counts are independent, so the only collective XLA
+        # inserts is for the tiled path's per-frame tile-sum. The
+        # reference serves one GPU at a time (its closest analog,
+        # --task test, is a serial loop — trainers/trainer.py:90-103);
+        # here one VideoCounter saturates a whole slice.
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size) if mesh is not None else 1
         # frames whose max dimension exceeds tile_threshold run through
         # the tiled path (tile_size x tile_size tile batch) instead of
         # one monolithic multi-megapixel program; tile_size=0 disables.
@@ -102,11 +113,26 @@ class VideoCounter:
             mask = (h_idx < vh * scale_h) & (w_idx < vw * scale_w)
             return jnp.sum(d * mask, axis=(1, 2, 3)) / log_para
 
-        @jax.jit
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dgvcc_tpu.parallel.mesh import DATA_AXIS
+
+            rep = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P(DATA_AXIS))
+            # weights replicated, batch dim sharded; _launch pads the
+            # batch to a multiple of the axis size. The tiled path's
+            # (B, T, t, t, 3) input shards on B so every tile of a
+            # frame stays on that frame's shard.
+            jit_kw = dict(in_shardings=(rep, row, row), out_shardings=row)
+        else:
+            jit_kw = {}
+
+        @functools.partial(jax.jit, **jit_kw)
         def infer(weights, frames_u8, valid_hw):
             return masked_counts(weights, frames_u8, valid_hw)
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kw)
         def infer_tiled(weights, tiles_u8, valid_hw):
             # tiles_u8: (B, T, t, t, 3) — each frame cut into T static
             # tiles; forward as one (B*T) batch, per-frame sums INSIDE
@@ -138,6 +164,13 @@ class VideoCounter:
         self.quantized = build_quantized(
             self.model, self.variables, jnp.asarray(c, jnp.float32),
             dtype=self.dtype)
+        if self.mesh is not None:
+            # replicate the folded int8 weights across the mesh once —
+            # otherwise every infer call would reshard them
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.quantized.qparams = jax.device_put(
+                self.quantized.qparams, NamedSharding(self.mesh, P()))
         self._quant_pending = False
 
     def _weights(self):
@@ -151,7 +184,7 @@ class VideoCounter:
                         quantize: bool = False,
                         calib_frames: Optional[np.ndarray] = None,
                         tile_size: int = 768, tile_threshold: int = 4096,
-                        **model_params):
+                        mesh=None, **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
         model = MODELS.build(model_name, dtype=dtype, **model_params)
@@ -192,11 +225,18 @@ class VideoCounter:
             for w in warnings[:10]:
                 print(f"[serve ckpt] {w}")
         # push weights to the device ONCE — numpy inputs would be
-        # re-transferred on every inference call
-        variables = jax.device_put(variables)
+        # re-transferred on every inference call (replicated across the
+        # mesh when serving data-parallel)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        else:
+            variables = jax.device_put(variables)
         return cls(model, variables, log_para=log_para, dtype=dtype,
                    quantize=quantize, calib_frames=calib_frames,
-                   tile_size=tile_size, tile_threshold=tile_threshold)
+                   tile_size=tile_size, tile_threshold=tile_threshold,
+                   mesh=mesh)
 
     def _pad(self, frames: np.ndarray):
         b, h, w, c = frames.shape
@@ -229,6 +269,17 @@ class VideoCounter:
 
     def _launch(self, frames: np.ndarray):
         """Dispatch one batch; returns a (B,) device-array future."""
+        b = frames.shape[0]
+        if self.n_shards > 1 and b % self.n_shards:
+            # batch dim shards over the mesh — pad with zero frames and
+            # drop their counts (lazy slice keeps this a device future)
+            extra = self.n_shards - b % self.n_shards
+            frames = np.concatenate(
+                [frames, np.zeros((extra,) + frames.shape[1:], frames.dtype)])
+        out = self._launch_exact(frames)
+        return out[:b] if frames.shape[0] != b else out
+
+    def _launch_exact(self, frames: np.ndarray):
         b, h, w, _ = frames.shape
         if self.tile_size and max(h, w) > self.tile_threshold:
             tiles, valid = self._tile(frames)

@@ -1,0 +1,57 @@
+"""Data-parallel serving: VideoCounter over a device mesh.
+
+The sharded serving path (serve.py, mesh=...) must produce the same
+per-frame counts as single-device serving — the batch dim shards over
+the 'data' axis, weights replicate, nothing else changes. Runs on the
+conftest 8-device virtual CPU mesh. The reference has no serving story
+at all (closest analog: the serial --task test loop,
+trainers/trainer.py:90-103), so the contract here is purely internal
+consistency.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dgvcc_tpu.parallel import make_mesh
+from dgvcc_tpu.serve import VideoCounter
+
+
+def _frames(b, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+
+
+def test_sharded_counts_match_single_device():
+    frames = _frames(8, 96, 128)
+    single = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32)
+    sharded = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                           mesh=make_mesh(8))
+    # same init (PRNGKey(0) in from_checkpoint) → same weights
+    c1 = single.count_frames(frames)
+    c2 = sharded.count_frames(frames)
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_ragged_batch_pads_and_slices():
+    # batch 5 on an 8-way mesh: pad to 8, counts slice back to 5
+    frames = _frames(5, 64, 64, seed=1)
+    single = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32)
+    sharded = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                           mesh=make_mesh(8))
+    c1 = single.count_frames(frames)
+    c2 = sharded.count_frames(frames)
+    assert len(c2) == 5
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_tiled_path():
+    # force the tiled path (threshold below the frame size); tiles of a
+    # frame stay on its shard, per-frame tile-sums happen inside jit
+    frames = _frames(2, 100, 180, seed=2)
+    kw = dict(dtype=jnp.float32, tile_size=64, tile_threshold=96)
+    single = VideoCounter.from_checkpoint("base", None, **kw)
+    sharded = VideoCounter.from_checkpoint("base", None, mesh=make_mesh(8),
+                                           **kw)
+    c1 = single.count_frames(frames)
+    c2 = sharded.count_frames(frames)
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
