@@ -1,0 +1,169 @@
+"""Export flax variables back to a reference torch state_dict.
+
+The missing half of checkpoint migration: ``nn/torch_io.py`` imports
+trained reference checkpoints (torch → flax); this module exports TPU-
+trained weights back out (flax → torch), so a model fine-tuned here can
+be loaded by the reference codebase (``model.load_state_dict(...)`` on
+models/models.py, models/baselines/*, models/SW|ibnnet|ISW) or any
+torch tooling downstream.
+
+Rather than hand-writing an inverse of every family converter (and
+keeping two mapping definitions in sync forever), the inverse is
+DERIVED from the forward converter by probing:
+
+1. Build a probe state_dict shaped like the template where every tensor
+   element holds a globally unique integer id (float64 — ids stay exact
+   up to 2^53, far above any model's parameter count).
+2. Run the real, eval-parity-tested forward converter
+   (``load_reference_checkpoint``) on the probe.
+3. Every flax leaf now literally contains the ids of the template
+   elements that feed it — any composition of transpose / reshape /
+   slice / concat / re-indexing the converter performs is recovered
+   element-by-element. Leaves the converter does not touch keep a -1
+   filler and are skipped.
+
+The derivation validates itself: ids must round-trip as exact integers
+(a lossy cast anywhere in the converter would corrupt them → loud
+failure, never a silently wrong export) and no template element may be
+claimed twice with conflicting values.
+
+A template state_dict is required for the torch-side key names and
+shapes — users migrating from the reference have one (the checkpoint
+they imported); from-scratch users can take any same-architecture
+reference checkpoint or a randomly initialized reference module's
+``state_dict()``. Keys the converters never consume (e.g. BatchNorm
+``num_batches_tracked``) are preserved from the template.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _flatten(tree, prefix=()) -> List[Tuple[Tuple[str, ...], np.ndarray]]:
+    out = []
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.extend(_flatten(tree[k], prefix + (k,)))
+    else:
+        out.append((prefix, np.asarray(tree)))
+    return out
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def derive_export_map(variables: Dict, template_sd: Dict[str, np.ndarray],
+                      model) -> Dict[Tuple[str, ...], Tuple[str, np.ndarray]]:
+    """Probe the forward converter once; return
+    ``{flax_leaf_path: (torch_key, flat_index_array)}`` such that
+    ``leaf.flat[i] == sd[torch_key].flat[index[i]]`` — i.e. the exact
+    element-level correspondence the converter implements."""
+    from flax.core import unfreeze
+
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    # globally unique ids per template element
+    offsets: Dict[str, Tuple[int, int]] = {}
+    probe_sd: Dict[str, np.ndarray] = {}
+    off = 0
+    for k, v in template_sd.items():
+        v = np.asarray(v)
+        n = int(np.prod(v.shape)) if v.ndim else 1
+        probe_sd[k] = (off + np.arange(n, dtype=np.float64)).reshape(v.shape)
+        offsets[k] = (off, n)
+        off += n
+    bounds = sorted((lo, lo + n, k) for k, (lo, n) in offsets.items())
+
+    # -1-filled variables: leaves the converter leaves alone stay -1
+    filler = {
+        "params": _fill(unfreeze(variables["params"])),
+        "batch_stats": _fill(unfreeze(variables.get("batch_stats", {}))),
+    }
+    probed = load_reference_checkpoint(filler, probe_sd, model)
+
+    mapping: Dict[Tuple[str, ...], Tuple[str, np.ndarray]] = {}
+    for col in ("params", "batch_stats"):
+        for path, leaf in _flatten(probed.get(col, {}), (col,)):
+            arr = np.asarray(leaf, np.float64).ravel()
+            ids = np.rint(arr).astype(np.int64)
+            if not np.array_equal(ids.astype(np.float64), arr):
+                raise ValueError(
+                    f"converter output at {'/'.join(path)} is not a pure "
+                    "re-indexing of the torch tensors (probe ids came back "
+                    "non-integral) — cannot derive an exact export")
+            if (ids == -1).all():
+                continue  # untouched leaf (not sourced from the template)
+            if (ids < 0).any():
+                raise ValueError(
+                    f"leaf {'/'.join(path)} is only PARTIALLY fed by the "
+                    "template state_dict — refusing a partial export")
+            key = _locate(bounds, int(ids.min()))
+            lo, n = offsets[key]
+            if int(ids.max()) >= lo + n:
+                raise ValueError(
+                    f"leaf {'/'.join(path)} mixes elements of multiple "
+                    "torch tensors — unsupported converter structure")
+            mapping[path] = (key, ids - lo)
+    return mapping
+
+
+def _fill(tree):
+    if isinstance(tree, dict):
+        return {k: _fill(v) for k, v in tree.items()}
+    a = np.asarray(tree)
+    return np.full(a.shape, -1.0, np.float64)
+
+
+def _locate(bounds, idx: int) -> str:
+    for lo, hi, k in bounds:
+        if lo <= idx < hi:
+            return k
+    raise ValueError(f"probe id {idx} outside every template tensor")
+
+
+def export_reference_checkpoint(variables: Dict,
+                                template_sd: Dict[str, np.ndarray],
+                                model) -> Dict[str, np.ndarray]:
+    """flax ``variables`` → torch-layout ``{key: ndarray}`` state_dict.
+
+    Inverse of ``torch_io.load_reference_checkpoint`` for every family
+    that converter supports (DG, models2 regressors/generators, the
+    conv baselines, the whitening counters). Values are float32;
+    template keys the converters never consume are passed through
+    unchanged. Use :func:`save_reference_checkpoint` to write a
+    ``.pth`` the reference can ``torch.load``.
+    """
+    mapping = derive_export_map(variables, template_sd, model)
+    out = {k: np.array(np.asarray(v), copy=True)
+           for k, v in template_sd.items()}
+    written: Dict[str, np.ndarray] = {
+        k: np.zeros(out[k].size, bool) for k in out}
+    for path, (key, idx) in mapping.items():
+        vals = np.asarray(_get(variables, path), np.float32).ravel()
+        dup = written[key][idx]
+        if dup.any():
+            prev = out[key].ravel()[idx[dup]]
+            if not np.allclose(prev, vals[dup], rtol=1e-5, atol=1e-6):
+                raise ValueError(
+                    f"torch key {key} receives conflicting values from "
+                    f"{'/'.join(path)} (shared-module divergence?)")
+        flat = out[key].ravel()
+        flat[idx] = vals
+        out[key] = flat.reshape(out[key].shape).astype(
+            np.asarray(template_sd[key]).dtype, copy=False)
+        written[key][idx] = True
+    return out
+
+
+def save_reference_checkpoint(path: str, sd: Dict[str, np.ndarray]) -> None:
+    """Write an exported state_dict as a ``torch.save`` file the
+    reference's ``load_state_dict`` accepts."""
+    import torch
+
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, path)
