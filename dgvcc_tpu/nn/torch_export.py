@@ -11,11 +11,16 @@ Rather than hand-writing an inverse of every family converter (and
 keeping two mapping definitions in sync forever), the inverse is
 DERIVED from the forward converter by probing:
 
-1. Build a probe state_dict shaped like the template where every tensor
-   element holds a globally unique integer id (float64 — ids stay exact
-   up to 2^53, far above any model's parameter count).
+1. Build probe state_dicts shaped like the template where every tensor
+   element holds a globally unique integer id. Converters may cast
+   through float32 (e.g. the SW running-stat path, torch_io.py), which
+   is only exact below 2^24 — smaller than a 30M-element checkpoint —
+   so the id is split across TWO probe passes: pass A carries
+   ``id % 4096``, pass B ``id // 4096``. Each component stays far below
+   2^24 and survives any float32 round-trip exactly; the id is
+   recombined per element afterwards (exact up to 2^36 elements).
 2. Run the real, eval-parity-tested forward converter
-   (``load_reference_checkpoint``) on the probe.
+   (``load_reference_checkpoint``) on each probe.
 3. Every flax leaf now literally contains the ids of the template
    elements that feed it — any composition of transpose / reshape /
    slice / concat / re-indexing the converter performs is recovered
@@ -68,48 +73,68 @@ def derive_export_map(variables: Dict, template_sd: Dict[str, np.ndarray],
 
     from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
 
-    # globally unique ids per template element
+    # globally unique ids per template element, split base-4096 across
+    # two probe passes so each component survives a float32 cast exactly
+    BASE = 4096
     offsets: Dict[str, Tuple[int, int]] = {}
-    probe_sd: Dict[str, np.ndarray] = {}
     off = 0
     for k, v in template_sd.items():
         v = np.asarray(v)
         n = int(np.prod(v.shape)) if v.ndim else 1
-        probe_sd[k] = (off + np.arange(n, dtype=np.float64)).reshape(v.shape)
         offsets[k] = (off, n)
         off += n
+    if off >= BASE * (1 << 24):
+        raise ValueError(f"template too large for exact probing ({off})")
     bounds = sorted((lo, lo + n, k) for k, (lo, n) in offsets.items())
 
-    # -1-filled variables: leaves the converter leaves alone stay -1
-    filler = {
-        "params": _fill(unfreeze(variables["params"])),
-        "batch_stats": _fill(unfreeze(variables.get("batch_stats", {}))),
-    }
-    probed = load_reference_checkpoint(filler, probe_sd, model)
+    def _probe_pass(component) -> Dict[Tuple[str, ...], np.ndarray]:
+        probe_sd = {}
+        for k, v in template_sd.items():
+            lo, n = offsets[k]
+            ids = lo + np.arange(n, dtype=np.int64)
+            probe_sd[k] = component(ids).astype(np.float64).reshape(
+                np.asarray(v).shape)
+        # -1-filled variables: leaves the converter leaves alone stay -1
+        filler = {
+            "params": _fill(unfreeze(variables["params"])),
+            "batch_stats": _fill(unfreeze(variables.get("batch_stats", {}))),
+        }
+        probed = load_reference_checkpoint(filler, probe_sd, model)
+        out = {}
+        for col in ("params", "batch_stats"):
+            for path, leaf in _flatten(probed.get(col, {}), (col,)):
+                arr = np.asarray(leaf, np.float64).ravel()
+                ids = np.rint(arr).astype(np.int64)
+                if not np.array_equal(ids.astype(np.float64), arr):
+                    raise ValueError(
+                        f"converter output at {'/'.join(path)} is not a "
+                        "pure re-indexing of the torch tensors (probe ids "
+                        "came back non-integral) — cannot derive an exact "
+                        "export")
+                out[path] = ids
+        return out
+
+    lo_pass = _probe_pass(lambda ids: ids % BASE)
+    hi_pass = _probe_pass(lambda ids: ids // BASE)
 
     mapping: Dict[Tuple[str, ...], Tuple[str, np.ndarray]] = {}
-    for col in ("params", "batch_stats"):
-        for path, leaf in _flatten(probed.get(col, {}), (col,)):
-            arr = np.asarray(leaf, np.float64).ravel()
-            ids = np.rint(arr).astype(np.int64)
-            if not np.array_equal(ids.astype(np.float64), arr):
-                raise ValueError(
-                    f"converter output at {'/'.join(path)} is not a pure "
-                    "re-indexing of the torch tensors (probe ids came back "
-                    "non-integral) — cannot derive an exact export")
-            if (ids == -1).all():
-                continue  # untouched leaf (not sourced from the template)
-            if (ids < 0).any():
-                raise ValueError(
-                    f"leaf {'/'.join(path)} is only PARTIALLY fed by the "
-                    "template state_dict — refusing a partial export")
-            key = _locate(bounds, int(ids.min()))
-            lo, n = offsets[key]
-            if int(ids.max()) >= lo + n:
-                raise ValueError(
-                    f"leaf {'/'.join(path)} mixes elements of multiple "
-                    "torch tensors — unsupported converter structure")
-            mapping[path] = (key, ids - lo)
+    for path, lo_ids in lo_pass.items():
+        hi_ids = hi_pass[path]
+        untouched = (lo_ids == -1) & (hi_ids == -1)
+        if untouched.all():
+            continue  # untouched leaf (not sourced from the template)
+        if untouched.any() or (lo_ids == -1).any() or (hi_ids == -1).any():
+            raise ValueError(
+                f"leaf {'/'.join(path)} is only PARTIALLY fed by the "
+                "template state_dict — refusing a partial export")
+        ids = hi_ids * BASE + lo_ids
+        key = _locate(bounds, int(ids.min()))
+        lo, n = offsets[key]
+        if int(ids.max()) >= lo + n:
+            raise ValueError(
+                f"leaf {'/'.join(path)} mixes elements of multiple "
+                "torch tensors — unsupported converter structure")
+        mapping[path] = (key, ids - lo)
     return mapping
 
 
