@@ -98,8 +98,37 @@ def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False):
     print(f"[serve] {total} frames in {dt:.2f}s = {total / dt:.2f} fps")
 
 
+def _export(trainer, cfg, template: str, out: str):
+    """Write TPU-trained weights as a reference-loadable torch .pth.
+
+    Inverse of the .pth migration path (--ckpt model.pth): the exported
+    file strict-loads into the reference module
+    (models/models.py, models/baselines/*, models/SW|ibnnet|ISW) — see
+    nn/torch_export.py for how the inverse mapping is derived.
+    """
+    from dgvcc_tpu.nn.torch_export import (
+        export_reference_checkpoint, save_reference_checkpoint)
+    from dgvcc_tpu.nn.torch_io import load_torch_state_dict
+
+    if cfg.checkpoint is None:
+        raise SystemExit("--task export requires a checkpoint "
+                         "(config key 'checkpoint' or --ckpt)")
+    if template is None or out is None:
+        raise SystemExit("--task export requires --template ref.pth "
+                         "(a same-architecture reference state_dict, "
+                         "for torch key names/shapes) and --out dest.pth")
+    trainer.build()
+    trainer.load_ckpt(cfg.checkpoint)
+    sd = export_reference_checkpoint(
+        trainer._variables(), load_torch_state_dict(template),
+        trainer.model)
+    save_reference_checkpoint(out, sd)
+    print(f"[export] wrote {len(sd)} tensors to {out}")
+
+
 def run(config_path: str, task: str, frames: str = None, batch: int = 4,
-        ckpt: str = None, quantize: bool = False):
+        ckpt: str = None, quantize: bool = False, template: str = None,
+        out: str = None):
     from dgvcc_tpu.core.config import load_config
     from dgvcc_tpu.train.trainer import DGTrainer
 
@@ -141,6 +170,8 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4,
         if frames is None:
             raise SystemExit("--task serve requires --frames DIR")
         _serve(cfg, frames, batch, quantize=quantize)
+    elif task == "export":
+        _export(trainer, cfg, template, out)
     else:
         raise ValueError(f"Unknown task: {task}")
 
@@ -150,7 +181,7 @@ def build_parser():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--task", type=str, default="train",
                         choices=["train", "test", "vis", "train_test",
-                                 "generate", "serve"])
+                                 "generate", "serve", "export"])
     parser.add_argument("--frames", type=str, default=None,
                         help="image directory for --task serve")
     parser.add_argument("--batch", type=int, default=4,
@@ -160,13 +191,19 @@ def build_parser():
     parser.add_argument("--quantize", action="store_true",
                         help="serve through the int8 PTQ graph "
                              "(DG family; ~1.5x fps on TPU v5e)")
+    parser.add_argument("--template", type=str, default=None,
+                        help="--task export: a same-architecture "
+                             "reference .pth for torch key names/shapes")
+    parser.add_argument("--out", type=str, default=None,
+                        help="--task export: destination .pth path")
     return parser
 
 
 def main():
     args = build_parser().parse_args()
     run(args.config, args.task, frames=args.frames, batch=args.batch,
-        ckpt=args.ckpt, quantize=args.quantize)
+        ckpt=args.ckpt, quantize=args.quantize, template=args.template,
+        out=args.out)
 
 
 if __name__ == "__main__":

@@ -427,3 +427,51 @@ def test_quantized_test_task_baseline(tmp_path, synth_root):
     assert np.isfinite(mae_q)
     # metric-neutral: same weights, same 800px eval tiling both paths
     assert abs(mae_q - mae_fp) <= 0.05 * max(mae_fp, 1.0), (mae_q, mae_fp)
+
+
+def test_cli_export_task_roundtrip(tmp_path, synth_root):
+    """--task export: a TPU-trained mcnn checkpoint exports to a .pth the
+    actual reference module strict-loads, with forward parity."""
+    import torch
+    import yaml as _yaml
+
+    import jax.numpy as jnp
+    from dgvcc_tpu.cli.main import run
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    from reference_oracle import ref_import
+
+    cfg_path, _ = make_config(tmp_path, synth_root, mode="simple")
+    d = _yaml.safe_load(open(cfg_path))
+    d["model"] = {"name": "mcnn", "params": {"pretrained": False}}
+    ds = dict(d["train_dataset"]); ds["name"] = "den"
+    ds["params"] = dict(ds["params"], downsample=4)
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    d["version"] = "export_e2e"
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+
+    cfg = load_config(cfg_path)
+    t = DGTrainer(cfg)
+    t.build()
+    t.train(num_epochs=1)
+    last = os.path.join(t.log_dir, "last.ckpt")
+
+    MC = ref_import("models.baselines.MCNN")
+    ref = MC.MCNN()
+    template = str(tmp_path / "template.pth")
+    torch.save(ref.state_dict(), template)
+    out = str(tmp_path / "exported.pth")
+    run(cfg_path, "export", ckpt=last, template=template, out=out)
+
+    ref.load_state_dict(torch.load(out, weights_only=True), strict=True)
+    ref.eval()
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, (1, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        golden = ref(torch.tensor(x)).numpy()
+    ours = np.transpose(
+        np.asarray(t.model.apply(t._variables(),
+                                 jnp.asarray(np.transpose(x, (0, 2, 3, 1))))),
+        (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
