@@ -194,3 +194,60 @@ def test_sharded_tiled_counter_matches_single_device():
     img = rng.normal(size=(70, 90, 3)).astype(np.float32)
     np.testing.assert_allclose(sc.density_map(variables, img),
                                tc.density_map(variables, img), rtol=1e-5)
+
+
+# ---- classic baselines: full fused train step (simple mode) ------------
+
+_BASELINE_TRAIN = [
+    # name, build_kwargs, input hw, heavy
+    ("csrnet", {"pretrained": False}, 64, False),
+    ("mcnn", {}, 64, False),
+    ("bl", {"pretrained": False}, 64, False),
+    ("sasnet", {"pretrained": False}, 64, True),
+    ("dssinet", {}, 64, True),
+    ("cctrans", dict(embed_dims=(32, 64, 128, 256), num_heads=(2, 2, 2, 2),
+                     depths=(1, 1, 1, 1), wss=(2, 2, 2, 2),
+                     sr_ratios=(8, 4, 2, 1), head_dims=(64, 128, 256)),
+     64, True),
+]
+
+
+@pytest.mark.parametrize(
+    "name,bk,hw,heavy",
+    [pytest.param(*row, marks=pytest.mark.heavy if row[3] else ())
+     for row in _BASELINE_TRAIN],
+    ids=[r[0] for r in _BASELINE_TRAIN])
+def test_baseline_train_step_runs_and_learns(name, bk, hw, heavy):
+    """The reference trains every classic baseline through BaseTrainer's
+    forward+MSE+backward (trainers/basetrainer.py:86-125); here that is
+    mode 'simple' — one fused jitted program. Each family must run the
+    full step (incl. BN/LN mutation and dropout rngs) and reduce the
+    loss on a fixed batch."""
+    rng = np.random.default_rng(42)
+    model = MODELS.build(name, **bk)
+    x = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    tx = build_optimizer({"name": "adamw", "params": {"lr": 1e-4}})
+    state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
+    loss = LOSSES.build("mse")
+    step = jit_train_step(build_train_step(model, loss, "simple", 1000.0),
+                          donate=False)
+
+    # density target shaped like the model's own output resolution
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = model.apply(variables, jnp.zeros((2, hw, hw, 3)), train=False,
+                      rngs={"dropout": jax.random.PRNGKey(9)})
+    if isinstance(out, tuple):
+        out = out[0]
+    batch = {
+        "img1": jnp.asarray(rng.normal(size=(2, hw, hw, 3)), jnp.float32),
+        "dmap": jnp.asarray(rng.uniform(0, 0.01, out.shape), jnp.float32),
+    }
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i),
+                              jnp.int32(0))
+        losses.append(float(metrics["loss_total"]))
+    assert np.all(np.isfinite(losses)), losses
+    # gradients flow and at least one update improves the fixed batch
+    # (strict monotonicity is optimizer noise at random init)
+    assert min(losses[1:]) < losses[0], losses
