@@ -79,6 +79,20 @@ HEAVY = (
     "test_whitening.py::test_isw_protocol",
     "test_backbone_variants.py::test_densenet_counters_run",
     "test_torch_io.py::test_vgg19_sw_remap",
+    # flax→torch export round-trips: the double converter probe on the
+    # big graphs; mcnn/csrnet/bl/sw/ibn stay fast-lane
+    "test_torch_export.py::test_dg_final_export_roundtrip",
+    "test_torch_export.py::test_dssinet_export_roundtrip",
+    "test_torch_export.py::test_family_export_roundtrip[cctrans]",
+    "test_torch_export.py::test_family_export_roundtrip[sasnet]",
+    "test_torch_export.py::test_family_export_roundtrip[isw]",
+    "test_torch_export.py::test_family_export_roundtrip[reg_mem]",
+    "test_torch_export.py::test_family_export_roundtrip[sw_vgg]",
+    # baseline train-step smokes with full-model traces
+    "test_train_steps.py::test_baseline_train_step_runs_and_learns[sasnet]",
+    "test_train_steps.py::test_baseline_train_step_runs_and_learns[cctrans]",
+    "test_train_steps.py::test_baseline_train_step_runs_and_learns[dssinet]",
+    "test_e2e.py::test_cli_export_task_roundtrip",
 )
 
 
