@@ -118,6 +118,18 @@ def _export(trainer, cfg, template: str, out: str):
                          "(a same-architecture reference state_dict, "
                          "for torch key names/shapes) and --out dest.pth")
     trainer.build()
+    if getattr(trainer, "joint", False):
+        # joint configs carry TWO models; export targets the counting
+        # regressor (trainer.model), so a [gen_only] checkpoint would
+        # export random-init regressor weights — refuse loudly
+        if (isinstance(cfg.checkpoint, (list, tuple))
+                and len(cfg.checkpoint) < 2):
+            raise SystemExit(
+                "--task export on a joint config needs the regressor "
+                "checkpoint too: checkpoint: [gen.ckpt, reg.ckpt]. To "
+                "export the generator, use a gen-family config.")
+        print("[export] joint config: exporting the counting regressor "
+              "(use a gen-family config to export the generator)")
     trainer.load_ckpt(cfg.checkpoint)
     sd = export_reference_checkpoint(
         trainer._variables(), load_torch_state_dict(template),

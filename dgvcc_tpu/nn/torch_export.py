@@ -48,13 +48,12 @@ import numpy as np
 
 
 def _flatten(tree, prefix=()) -> List[Tuple[Tuple[str, ...], np.ndarray]]:
-    out = []
-    if isinstance(tree, dict):
-        for k in sorted(tree):
-            out.extend(_flatten(tree[k], prefix + (k,)))
-    else:
-        out.append((prefix, np.asarray(tree)))
-    return out
+    from flax.traverse_util import flatten_dict
+
+    if not isinstance(tree, dict):
+        return [(prefix, np.asarray(tree))]
+    return [(prefix + path, np.asarray(leaf)) for path, leaf in
+            sorted(flatten_dict(tree).items())]
 
 
 def _get(tree, path):
@@ -135,6 +134,34 @@ def derive_export_map(variables: Dict, template_sd: Dict[str, np.ndarray],
                 f"leaf {'/'.join(path)} mixes elements of multiple "
                 "torch tensors — unsupported converter structure")
         mapping[path] = (key, ids - lo)
+
+    # validate the derived mapping against the REAL template values: run
+    # the converter once more on template_sd and require every mapped
+    # leaf to equal its claimed template elements. This catches the one
+    # failure mode integer probing cannot see — a leaf the converter
+    # fills with a small integral CONSTANT (e.g. a synthesized zero
+    # bias), which probes like "fed by template element c*(BASE+1)" but
+    # will not match the template's float there.
+    filler = {
+        "params": _fill(unfreeze(variables["params"])),
+        "batch_stats": _fill(unfreeze(variables.get("batch_stats", {}))),
+    }
+    checked = load_reference_checkpoint(
+        filler, {k: np.asarray(v, np.float64) for k, v in
+                 template_sd.items()}, model)
+    real = {}
+    for col in ("params", "batch_stats"):
+        real.update(_flatten(checked.get(col, {}), (col,)))
+    for path, (key, idx) in mapping.items():
+        # converters may cast through float32 (sw stats) — compare there
+        want = np.asarray(template_sd[key], np.float64).ravel()[idx].astype(
+            np.float32)
+        got = np.asarray(real[path], np.float64).ravel().astype(np.float32)
+        if not np.array_equal(got, want):
+            raise ValueError(
+                f"derived mapping for {'/'.join(path)} does not reproduce "
+                f"the converter's output from {key} — the converter is "
+                "not a pure re-indexing there; refusing to export")
     return mapping
 
 
@@ -165,24 +192,43 @@ def export_reference_checkpoint(variables: Dict,
     ``.pth`` the reference can ``torch.load``.
     """
     mapping = derive_export_map(variables, template_sd, model)
+    # mapped keys export as float32 (the trained precision) even if the
+    # template was saved lower-precision — torch's load_state_dict casts
+    # into the module dtype, and downcasting here would silently break
+    # the bit-exact round trip. Untouched keys pass through as-is.
     out = {k: np.array(np.asarray(v), copy=True)
            for k, v in template_sd.items()}
-    written: Dict[str, np.ndarray] = {
-        k: np.zeros(out[k].size, bool) for k in out}
+    buf: Dict[str, np.ndarray] = {}
+    written: Dict[str, np.ndarray] = {}
     for path, (key, idx) in mapping.items():
         vals = np.asarray(_get(variables, path), np.float32).ravel()
+        if key not in buf:
+            buf[key] = np.asarray(template_sd[key], np.float32).ravel().copy()
+            written[key] = np.zeros(buf[key].size, bool)
+        # within-leaf duplicate indices (a converter broadcasting one
+        # torch element into several leaf positions): all writes to one
+        # element must agree, else last-write-wins would be silent
+        order = np.argsort(idx, kind="stable")
+        si, sv = idx[order], vals[order]
+        same = si[1:] == si[:-1]
+        if same.any() and not np.allclose(sv[1:][same], sv[:-1][same],
+                                          rtol=1e-5, atol=1e-6):
+            raise ValueError(
+                f"leaf {'/'.join(path)} writes conflicting values into "
+                f"repeated elements of torch key {key}")
+        # cross-leaf duplicates (shared torch modules imported into
+        # several flax sites): exported values must agree too
         dup = written[key][idx]
         if dup.any():
-            prev = out[key].ravel()[idx[dup]]
+            prev = buf[key][idx[dup]]
             if not np.allclose(prev, vals[dup], rtol=1e-5, atol=1e-6):
                 raise ValueError(
                     f"torch key {key} receives conflicting values from "
                     f"{'/'.join(path)} (shared-module divergence?)")
-        flat = out[key].ravel()
-        flat[idx] = vals
-        out[key] = flat.reshape(out[key].shape).astype(
-            np.asarray(template_sd[key]).dtype, copy=False)
+        buf[key][idx] = vals
         written[key][idx] = True
+    for key, flat in buf.items():
+        out[key] = flat.reshape(np.asarray(template_sd[key]).shape)
     return out
 
 

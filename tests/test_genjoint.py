@@ -88,3 +88,20 @@ def test_joint_mode_saves_pairs(tmp_path, synth_root):
 
     for a, b in zip(jax.tree.leaves(t.state.params), jax.tree.leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_refuses_gen_only_pair(tmp_path, synth_root):
+    """--task export on a joint config with a [gen_only] checkpoint must
+    refuse (exporting would write random-init regressor weights)."""
+    import pytest as _pytest
+
+    from dgvcc_tpu.cli.main import _export
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg = Config.from_dict(make_cfg(tmp_path, synth_root, "joint", "dgnet"))
+    cfg.version = "gj_export_guard"
+    cfg.checkpoint = ["gen_only.ckpt"]
+    t = DGTrainer(cfg)
+    with _pytest.raises(SystemExit, match="regressor checkpoint"):
+        _export(t, cfg, template="x.pth", out="y.pth")

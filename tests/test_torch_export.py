@@ -50,8 +50,10 @@ def _roundtrip(name, ref, seed, build_kwargs=None, rngs=("params",),
         exempt = ("num_batches_tracked" in k
                   or any(k.startswith(p) for p in dead_prefixes))
         if exempt:
-            # untouched by the converter → template passthrough, exactly
-            assert np.array_equal(a, tmp) or np.array_equal(a, orig), (
+            # untouched by the converter → template passthrough, exactly.
+            # STRICT: if this equals `orig` instead, the converter now
+            # consumes the key and its dead_prefixes entry is stale.
+            assert np.array_equal(a, tmp), (
                 f"{k}: exempt key must be template passthrough")
         else:
             assert np.array_equal(a, orig), f"{k}: did not round-trip"
@@ -89,14 +91,12 @@ def test_export_save_torch_file(tmp_path):
     ref.load_state_dict(loaded, strict=True)
 
 
-@pytest.mark.heavy
 def test_dg_final_export_roundtrip():
     MM = ref_import("models.models")
     ref = MM.DGModel_final(pretrained=False)
     _roundtrip("final", ref, 305, rngs=("params", "dropout"))
 
 
-@pytest.mark.heavy
 def test_ibn_export_roundtrip():
     # IBN-a splits BN params channel-wise into IN/BN halves — the probe
     # must recover the interleaved inverse exactly
@@ -105,7 +105,6 @@ def test_ibn_export_roundtrip():
     _roundtrip("ibn", ref, 307, init_kwargs={"train": False})
 
 
-@pytest.mark.heavy
 def test_dssinet_export_roundtrip():
     # shared VGG pyramid: several flax sites export into the same torch
     # keys — values agree, the conflict check must accept them
@@ -174,7 +173,6 @@ _ROWS = [
 ]
 
 
-@pytest.mark.heavy
 @pytest.mark.parametrize("family,bk,rngs,ik,dead", _ROWS,
                          ids=[r[0] for r in _ROWS])
 def test_family_export_roundtrip(family, bk, rngs, ik, dead):

@@ -198,26 +198,25 @@ def test_sharded_tiled_counter_matches_single_device():
 
 # ---- classic baselines: full fused train step (simple mode) ------------
 
+# lane membership (sasnet/dssinet/cctrans heavy) is governed by
+# conftest's HEAVY nodeid list, not by marks
 _BASELINE_TRAIN = [
-    # name, build_kwargs, input hw, heavy
-    ("csrnet", {"pretrained": False}, 64, False),
-    ("mcnn", {}, 64, False),
-    ("bl", {"pretrained": False}, 64, False),
-    ("sasnet", {"pretrained": False}, 64, True),
-    ("dssinet", {}, 64, True),
+    # name, build_kwargs, input hw
+    ("csrnet", {"pretrained": False}, 64),
+    ("mcnn", {}, 64),
+    ("bl", {"pretrained": False}, 64),
+    ("sasnet", {"pretrained": False}, 64),
+    ("dssinet", {}, 64),
     ("cctrans", dict(embed_dims=(32, 64, 128, 256), num_heads=(2, 2, 2, 2),
                      depths=(1, 1, 1, 1), wss=(2, 2, 2, 2),
                      sr_ratios=(8, 4, 2, 1), head_dims=(64, 128, 256)),
-     64, True),
+     64),
 ]
 
 
-@pytest.mark.parametrize(
-    "name,bk,hw,heavy",
-    [pytest.param(*row, marks=pytest.mark.heavy if row[3] else ())
-     for row in _BASELINE_TRAIN],
-    ids=[r[0] for r in _BASELINE_TRAIN])
-def test_baseline_train_step_runs_and_learns(name, bk, hw, heavy):
+@pytest.mark.parametrize("name,bk,hw", _BASELINE_TRAIN,
+                         ids=[r[0] for r in _BASELINE_TRAIN])
+def test_baseline_train_step_runs_and_learns(name, bk, hw):
     """The reference trains every classic baseline through BaseTrainer's
     forward+MSE+backward (trainers/basetrainer.py:86-125); here that is
     mode 'simple' — one fused jitted program. Each family must run the
