@@ -475,3 +475,25 @@ def test_cli_export_task_roundtrip(tmp_path, synth_root):
                                  jnp.asarray(np.transpose(x, (0, 2, 3, 1))))),
         (0, 3, 1, 2))
     np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
+
+
+def test_cli_vis_task(tmp_path, synth_root):
+    """--task vis writes per-image panel PNGs (dgtrainer.py:239-299
+    contract: the figure plus Cls/BCls/Pred dumps for cls-headed
+    models) into logs/{version}/vis."""
+    from dgvcc_tpu.cli.main import run
+
+    cfg_path, cfg = make_config(tmp_path, synth_root)
+    run(cfg_path, "vis")
+
+    vis_dir = os.path.join(cfg["log_dir"], "test_e2e", "vis")
+    pngs = sorted(os.listdir(vis_dir))
+    assert pngs, "vis produced no files"
+    # 'final' has a cls head → panel + Cls/BCls/Pred dumps per image
+    stems = {p[:-4].split("_")[0] for p in pngs}
+    for stem in stems:
+        mine = [p for p in pngs if p.startswith(stem)]
+        assert f"{stem}.png" in mine, mine  # the 2x3 panel figure
+        assert any(p.endswith("_Cls.png") for p in mine), mine
+        assert any(p.endswith("_BCls.png") for p in mine), mine
+        assert any("_Pred_" in p for p in mine), mine
