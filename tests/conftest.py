@@ -94,6 +94,7 @@ HEAVY = (
     "test_train_steps.py::test_baseline_train_step_runs_and_learns[dssinet]",
     "test_e2e.py::test_cli_export_task_roundtrip",
     "test_e2e.py::test_cli_vis_task",
+    "test_genjoint.py::test_generate_task_emits_restyled_images",
 )
 
 

@@ -105,3 +105,29 @@ def test_export_refuses_gen_only_pair(tmp_path, synth_root):
     t = DGTrainer(cfg)
     with _pytest.raises(SystemExit, match="regressor checkpoint"):
         _export(t, cfg, template="x.pth", out="y.pth")
+
+
+def test_generate_task_emits_restyled_images(tmp_path, synth_root):
+    """--task generate writes {name}_a.jpg restyled train images into
+    logs/{version}/gen — the gen_root production path (reference flow:
+    trained Generator → main.py generate → datasets consume via
+    gen_root aliasing, base_dataset.py:89-92)."""
+    import os
+    from glob import glob
+
+    from dgvcc_tpu.core.config import Config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg = Config.from_dict(make_cfg(tmp_path, synth_root, "generation", "gen"))
+    cfg.version = "gj_generate"
+    t = DGTrainer(cfg)
+    t.generate()  # random-init generator: output must still be images
+
+    out = sorted(glob(os.path.join(t.log_dir, "gen", "*_a.jpg")))
+    assert out, "generate produced no images"
+    # every train image gets a restyled counterpart with the _a suffix
+    n_train = len(glob(os.path.join(synth_root, "train", "*.jpg")))
+    assert len(out) == n_train
+    from PIL import Image
+    im = Image.open(out[0])
+    assert im.size[0] > 0 and im.mode == "RGB"
