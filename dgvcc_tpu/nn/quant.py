@@ -201,6 +201,31 @@ class QuantizedDG:
             y = jax.nn.relu(y)
         return y.astype(self.dtype)
 
+    def _cat_qconv(self, qparams, parts, name: str, relu: bool = True):
+        """Conv over ``concat(parts)`` with the quantize pushed INSIDE
+        the concat: per-tensor scale commutes with concatenation, so
+        each part quantizes to int8 first (bit-identical xq) and the
+        wide bf16 concat — 88 MB/frame at den_dec for a 768x1024 input —
+        is never materialized; XLA fuses each part's (upsample+)round
+        straight into the int8 concat write. Falls back to the plain
+        path for fp sites and during calibration (scales not built yet),
+        so the calibration capture still sees the full concat input."""
+        site = qparams["sites"][name]
+        if "w8" not in site:
+            return self._qconv(qparams, jnp.concatenate(parts, axis=-1),
+                               name, relu=relu)
+        s = self.scales[name]
+        xq = jnp.concatenate(
+            [jnp.clip(jnp.round(p.astype(jnp.float32) / s), -127, 127
+                      ).astype(jnp.int8) for p in parts], axis=-1)
+        yi = jax.lax.conv_general_dilated(
+            xq, site["w8"], (1, 1), "SAME", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+        y = yi.astype(jnp.float32) * (site["ws"] * s) + site["bias"]
+        if relu:
+            y = jax.nn.relu(y)
+        return y.astype(self.dtype)
+
     def _encoder(self, qparams, x):
         feats = []
         for enc, lo, hi in _ENC_SPLITS:
@@ -225,19 +250,15 @@ class QuantizedDG:
         y = self._qconv(qparams, x3, "dec3_0")
         y = self._qconv(qparams, y, "dec3_1")
         y3 = y
-        y = upsample(y, 2)
-        y = jnp.concatenate([y, x2], axis=-1)
-        y = self._qconv(qparams, y, "dec2_0")
+        y = self._cat_qconv(qparams, [upsample(y, 2), x2], "dec2_0")
         y = self._qconv(qparams, y, "dec2_1")
         y2 = y
-        y = upsample(y, 2)
-        y = jnp.concatenate([y, x1], axis=-1)
-        y = self._qconv(qparams, y, "dec1_0")
+        y = self._cat_qconv(qparams, [upsample(y, 2), x1], "dec1_0")
         y = self._qconv(qparams, y, "dec1_1")
         y1 = y
 
-        y_cat = jnp.concatenate([y1, upsample(y2, 2), upsample(y3, 4)], axis=-1)
-        y_den = self._qconv(qparams, y_cat, "den_dec")
+        y_den = self._cat_qconv(
+            qparams, [y1, upsample(y2, 2), upsample(y3, 4)], "den_dec")
         if self.use_mem:
             mem = qparams["mem"]
             b, h, w, k = y_den.shape
