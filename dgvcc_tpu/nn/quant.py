@@ -373,16 +373,29 @@ class QuantizedConvNet:
 
     def _qconv(self, qparams, x, name: str, relu: bool = True,
                padding="SAME", dilation=(1, 1)):
+        """``x`` may be a list/tuple of concat parts: for int8 sites each
+        part quantizes BEFORE the channel concat (a per-tensor scale
+        commutes with concatenation — bit-identical xq) so the wide
+        higher-precision concat never materializes; fp sites just
+        concat."""
         site = qparams["sites"][name]
+        parts = x if isinstance(x, (list, tuple)) else None
         if "w8" not in site:  # fp site
+            if parts is not None:
+                x = jnp.concatenate(parts, axis=-1)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), site["kernel"], (1, 1), padding,
                 rhs_dilation=dilation, dimension_numbers=_DN)
             y = y + site["bias"].astype(self.dtype)
             return jax.nn.relu(y) if relu else y
         s = self.scales[name]
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
-                      ).astype(jnp.int8)
+
+        def q8(t):
+            return jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127
+                            ).astype(jnp.int8)
+
+        xq = (jnp.concatenate([q8(p) for p in parts], axis=-1)
+              if parts is not None else q8(x))
         yi = jax.lax.conv_general_dilated(
             xq, site["w8"], (1, 1), padding, rhs_dilation=dilation,
             dimension_numbers=_DN, preferred_element_type=jnp.int32)
@@ -416,7 +429,9 @@ def calibrate_graph(folded: Dict, forward_fn, fp_sites,
         def capturing(qp, x, name, relu=True, padding="SAME",
                       dilation=(1, 1)):
             if name not in q.fp_sites:
-                m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                ps = x if isinstance(x, (list, tuple)) else (x,)
+                m = jnp.max(jnp.asarray(
+                    [jnp.max(jnp.abs(p.astype(jnp.float32))) for p in ps]))
                 caps[name] = jnp.maximum(caps[name], m) if name in caps else m
             return orig(qp, x, name, relu=relu, padding=padding,
                         dilation=dilation)
@@ -496,7 +511,7 @@ def mcnn_forward(qconv, x):
             if i < 2:
                 y = _maxpool(y)
         outs.append(y)
-    return qconv(jnp.concatenate(outs, axis=-1), "fuse", relu=False)
+    return qconv(list(outs), "fuse", relu=False)
 
 
 # -- BL-VGG (baselines/BL.py:11-56; vgg19 features + x2 up + reg head)
@@ -596,23 +611,19 @@ def sasnet_forward(qconv, x, block_size: int = 32):
     y = qconv(y, "ConvRelu_1")
     x5_out = y
     y = _resize_bilinear(y, x4.shape[1:3])
-    y = jnp.concatenate([x4, y], axis=-1)
-    y = qconv(y, "ConvRelu_2")
+    y = qconv([x4, y], "ConvRelu_2")
     y = qconv(y, "ConvRelu_3")
     x4_out = y
     y = _resize_bilinear(y, x3.shape[1:3])
-    y = jnp.concatenate([x3, y], axis=-1)
-    y = qconv(y, "ConvRelu_4")
+    y = qconv([x3, y], "ConvRelu_4")
     y = qconv(y, "ConvRelu_5")
     x3_out = y
     y = _resize_bilinear(y, x2.shape[1:3])
-    y = jnp.concatenate([x2, y], axis=-1)
-    y = qconv(y, "ConvRelu_6")
+    y = qconv([x2, y], "ConvRelu_6")
     y = qconv(y, "ConvRelu_7")
     x2_out = y
     y = _resize_bilinear(y, x1.shape[1:3])
-    y = jnp.concatenate([x1, y], axis=-1)
-    y = qconv(y, "ConvRelu_8")
+    y = qconv([x1, y], "ConvRelu_8")
     y = qconv(y, "ConvRelu_9")
     x1_out = y
 
@@ -626,8 +637,7 @@ def sasnet_forward(qconv, x, block_size: int = 32):
         b3 = qconv(b3, f"MultiBranch_{i}/BasicConv_3")
         b5 = qconv(o, f"MultiBranch_{i}/BasicConv_4")
         b5 = qconv(b5, f"MultiBranch_{i}/BasicConv_5")
-        d = jnp.concatenate([b1, b3, b5, o], axis=-1)
-        d = qconv(d, f"Conv_{i}")  # density 1x1 head IS relu'd
+        d = qconv([b1, b3, b5, o], f"Conv_{i}")  # density 1x1 head IS relu'd
         densities.append(_resize_nearest(d, x1.shape[1:3]))
         cf = _adaptive_avg_pool(o, conf_hw)
         cf = qconv(cf, f"ConvRelu_{10 + 2 * i}")
