@@ -13,6 +13,9 @@ TPU-specific extensions (all optional, defaulted):
     donate:        bool                      — donate train-state buffers
     test_quantized: bool                     — run the test task through
                    the int8 PTQ serving graph (DG family; nn/quant.py)
+    accum_steps:   int                       — gradient accumulation: average
+                   grads over k micro-batch steps, one optimizer update
+                   (optax.MultiSteps; effective batch k×batch_size)
 """
 
 from __future__ import annotations

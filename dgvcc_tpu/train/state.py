@@ -34,13 +34,21 @@ class TrainState(struct.PyTreeNode):
         )
 
     def set_learning_rate(self, lr: float) -> "TrainState":
-        """Works with optax.inject_hyperparams-wrapped optimizers."""
-        opt_state = self.opt_state
-        if hasattr(opt_state, "hyperparams"):
-            hp = dict(opt_state.hyperparams)
-            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            opt_state = opt_state._replace(hyperparams=hp)
-        return self.replace(opt_state=opt_state)
+        """Works with optax.inject_hyperparams-wrapped optimizers, also
+        when wrapped in optax.MultiSteps (gradient accumulation — the
+        hyperparams live on the inner state)."""
+
+        def fix(opt_state):
+            if hasattr(opt_state, "hyperparams"):
+                hp = dict(opt_state.hyperparams)
+                hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                return opt_state._replace(hyperparams=hp)
+            if hasattr(opt_state, "inner_opt_state"):
+                return opt_state._replace(
+                    inner_opt_state=fix(opt_state.inner_opt_state))
+            return opt_state
+
+        return self.replace(opt_state=fix(self.opt_state))
 
 
 def create_train_state(model, rng, sample_input, tx, train_kwargs: Optional[Dict] = None):

@@ -138,6 +138,17 @@ class DGTrainer:
             )
 
         self.tx = build_optimizer(cfg.optimizer)
+        # gradient accumulation (`accum_steps: k` extra): the optimizer
+        # averages grads over k consecutive micro-batch steps and applies
+        # one update — effective batch k×batch_size without the activation
+        # memory. BN/SW batch stats still update per micro-batch (same
+        # semantics as torch-side accumulation loops). Partial
+        # accumulation carries across epoch boundaries (optax.MultiSteps).
+        accum = int(cfg.extra.get("accum_steps", 1) or 1)
+        if accum > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         base_lr = cfg.optimizer.get("params", {}).get("lr", 1e-3)
         self.scheduler = build_scheduler(cfg.scheduler, base_lr)
 
@@ -164,6 +175,9 @@ class DGTrainer:
             self.reg_model = MODELS.build("reg_mem", dtype=dtype)
             self.model = self.reg_model  # counting model for eval
             self.gen_tx = build_optimizer(cfg.optimizer)
+            if accum > 1:
+                self.gen_tx = optax.MultiSteps(self.gen_tx,
+                                               every_k_schedule=accum)
             self.gen_state = create_train_state(
                 self.gen_model, jax.random.PRNGKey(cfg.seed + 7), sample, self.gen_tx
             )
