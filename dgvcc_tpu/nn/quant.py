@@ -183,43 +183,33 @@ class QuantizedDG:
 
     def _qconv(self, qparams, x, name: str, relu: bool = True,
                padding="SAME"):
+        """``x`` may be a list/tuple of concat parts: the quantize is
+        pushed INSIDE the concat (per-tensor scale commutes with
+        concatenation, bit-identical xq) so each part quantizes to int8
+        first and the wide bf16 concat — 88 MB/frame at den_dec for a
+        768x1024 input — is never materialized; XLA fuses each part's
+        (upsample+)round straight into the int8 concat write. fp sites
+        (and calibration, scales not built yet) just concat."""
         site = qparams["sites"][name]
+        parts = x if isinstance(x, (list, tuple)) else None
         if "w8" not in site:  # fp site
+            if parts is not None:
+                x = jnp.concatenate(parts, axis=-1)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), site["kernel"], (1, 1), padding,
                 dimension_numbers=_DN)
             y = y + site["bias"].astype(self.dtype)
             return jax.nn.relu(y) if relu else y
         s = self.scales[name]
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
-                      ).astype(jnp.int8)
+
+        def q8(t):
+            return jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127
+                            ).astype(jnp.int8)
+
+        xq = (jnp.concatenate([q8(p) for p in parts], axis=-1)
+              if parts is not None else q8(x))
         yi = jax.lax.conv_general_dilated(
             xq, site["w8"], (1, 1), padding, dimension_numbers=_DN,
-            preferred_element_type=jnp.int32)
-        y = yi.astype(jnp.float32) * (site["ws"] * s) + site["bias"]
-        if relu:
-            y = jax.nn.relu(y)
-        return y.astype(self.dtype)
-
-    def _cat_qconv(self, qparams, parts, name: str, relu: bool = True):
-        """Conv over ``concat(parts)`` with the quantize pushed INSIDE
-        the concat: per-tensor scale commutes with concatenation, so
-        each part quantizes to int8 first (bit-identical xq) and the
-        wide bf16 concat — 88 MB/frame at den_dec for a 768x1024 input —
-        is never materialized; XLA fuses each part's (upsample+)round
-        straight into the int8 concat write. Falls back to the plain
-        path for fp sites and during calibration (scales not built yet),
-        so the calibration capture still sees the full concat input."""
-        site = qparams["sites"][name]
-        if "w8" not in site:
-            return self._qconv(qparams, jnp.concatenate(parts, axis=-1),
-                               name, relu=relu)
-        s = self.scales[name]
-        xq = jnp.concatenate(
-            [jnp.clip(jnp.round(p.astype(jnp.float32) / s), -127, 127
-                      ).astype(jnp.int8) for p in parts], axis=-1)
-        yi = jax.lax.conv_general_dilated(
-            xq, site["w8"], (1, 1), "SAME", dimension_numbers=_DN,
             preferred_element_type=jnp.int32)
         y = yi.astype(jnp.float32) * (site["ws"] * s) + site["bias"]
         if relu:
@@ -250,14 +240,14 @@ class QuantizedDG:
         y = self._qconv(qparams, x3, "dec3_0")
         y = self._qconv(qparams, y, "dec3_1")
         y3 = y
-        y = self._cat_qconv(qparams, [upsample(y, 2), x2], "dec2_0")
+        y = self._qconv(qparams, [upsample(y, 2), x2], "dec2_0")
         y = self._qconv(qparams, y, "dec2_1")
         y2 = y
-        y = self._cat_qconv(qparams, [upsample(y, 2), x1], "dec1_0")
+        y = self._qconv(qparams, [upsample(y, 2), x1], "dec1_0")
         y = self._qconv(qparams, y, "dec1_1")
         y1 = y
 
-        y_den = self._cat_qconv(
+        y_den = self._qconv(
             qparams, [y1, upsample(y2, 2), upsample(y3, 4)], "den_dec")
         if self.use_mem:
             mem = qparams["mem"]
@@ -303,7 +293,11 @@ def calibrate(model, folded: Dict, mem: Optional[np.ndarray],
 
         def capturing(qp, x, name, relu=True, padding="SAME"):
             if name not in _FP_SITES:
-                m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                # concat sites pass parts: absmax over the parts equals
+                # the absmax of their concatenation
+                ps = x if isinstance(x, (list, tuple)) else (x,)
+                m = jnp.max(jnp.asarray(
+                    [jnp.max(jnp.abs(p.astype(jnp.float32))) for p in ps]))
                 caps[name] = jnp.maximum(caps[name], m) if name in caps else m
             return orig(qp, x, name, relu=relu, padding=padding)
 

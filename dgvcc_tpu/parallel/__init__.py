@@ -4,7 +4,8 @@ from dgvcc_tpu.parallel.mesh import (
     build_parallel_train_step,
 )
 
-from dgvcc_tpu.parallel.pp import make_pipe_mesh, pipelined_apply
+from dgvcc_tpu.parallel.pp import (build_pipeline, make_pipe_mesh,
+                                   pipelined_apply)
 
 __all__ = ["make_mesh", "shard_batch", "build_parallel_train_step",
-           "make_pipe_mesh", "pipelined_apply"]
+           "build_pipeline", "make_pipe_mesh", "pipelined_apply"]

@@ -21,8 +21,16 @@ activation shape, so the stack pipelines cleanly across chips:
 This is the standard JAX/TPU pipeline recipe (stacked homogeneous
 layers + shard_map + ppermute), NOT a translation of anything in the
 reference — the reference is single-GPU and has no pipeline concept.
-Exactness vs the sequential stack is tested on the virtual CPU mesh
-(tests/test_pp.py) and exercised by __graft_entry__.dryrun_multichip.
+Like the TP memory bank (parallel/tp.py) it is a library primitive, not
+a trainer config knob. Exactness vs the sequential stack is tested on
+the virtual CPU mesh (tests/test_pp.py) and exercised by
+__graft_entry__.dryrun_multichip.
+
+Memory note: the microbatch stream is replicated to every stage
+(in_specs P()) — stage 0 is the only consumer, but a replicated input
+keeps the schedule a pure ring. The weights (the term that actually
+scales with depth) shard 1/S; outputs leave the computation as ONE
+[M, ...] replicated array (masked psum of the final stage's stream).
 """
 
 from __future__ import annotations
@@ -46,6 +54,13 @@ def make_pipe_mesh(n_devices: int, devices=None) -> Mesh:
 def stack_block_variables(block_vars: Sequence[Dict[str, Any]]):
     """Stack per-block flax variable dicts (identical structure) into
     one pytree with a leading layer axis — the scan/shard axis."""
+    first = jax.tree.structure(block_vars[0])
+    for i, bv in enumerate(block_vars[1:], 1):
+        if jax.tree.structure(bv) != first:
+            raise ValueError(
+                f"block {i} variable structure differs from block 0 — "
+                "pipeline stages must be structurally identical (skip "
+                "downsample/post-norm special blocks)")
     return jax.tree.map(lambda *xs: jnp.stack(xs), *block_vars)
 
 
@@ -55,49 +70,63 @@ def extract_stage_blocks(variables: Dict[str, Any], stage: int,
     i in [start, stop) out of a ResNetTrunk variables dict (nested under
     the counter's trunk module if present). Blocks must be structurally
     identical — i.e. skip the stage's first (downsample) block and any
-    block with a unique norm site (post-IW last block, odd-index SW)."""
+    block with a unique norm site (post-IW last block, odd-index SW).
+    Raises if a block name is missing, appears in more than one subtree
+    (e.g. two trunks in one variables dict), or is structurally ragged
+    across collections."""
 
-    def find(tree, name):
+    def find_all(tree, name, hits):
         if name in tree:
-            return tree[name]
+            hits.append(tree[name])
         for v in tree.values():
             if isinstance(v, dict):
-                hit = find(v, name)
-                if hit is not None:
-                    return hit
-        return None
+                find_all(v, name, hits)
+        return hits
 
     blocks = []
+    cols0 = None
     for i in range(start, stop):
         per_col = {}
         for col, tree in variables.items():
-            sub = find(tree, f"layer{stage}_{i}")
-            if sub is not None:
-                per_col[col] = sub
+            hits = find_all(tree, f"layer{stage}_{i}", [])
+            if len(hits) > 1:
+                raise ValueError(
+                    f"layer{stage}_{i} appears {len(hits)} times in "
+                    f"collection '{col}' — pass the trunk's own "
+                    "variables, not a multi-model dict")
+            if hits:
+                per_col[col] = hits[0]
         if not per_col:
             raise KeyError(f"layer{stage}_{i} not found in variables")
+        if cols0 is None:
+            cols0 = set(per_col)
+        elif set(per_col) != cols0:
+            raise ValueError(
+                f"layer{stage}_{i} has collections {sorted(per_col)} but "
+                f"block {start} has {sorted(cols0)} — ragged stack")
         blocks.append(per_col)
     return blocks
 
 
-def pipelined_apply(mesh: Mesh, block_fn: Callable, stacked_vars,
-                    microbatches, axis_name: str = PIPE_AXIS) -> Callable:
-    """Run ``microbatches`` through all L stacked blocks, L/S per stage.
+def build_pipeline(mesh: Mesh, block_fn: Callable,
+                   axis_name: str = PIPE_AXIS) -> Callable:
+    """Build fn(stacked_vars, microbatches) -> [M, mb, ...]: run the
+    microbatches through all L stacked blocks, L/S consecutive blocks
+    per pipeline stage.
 
     block_fn(vars_one_block, x) -> y with y.shape == x.shape (residual
-    blocks). ``stacked_vars`` leaves are [L, ...] (L divisible by the
-    pipe size), sharded over the pipe axis by shard_map. ``microbatches``
-    is [M, mb, H, W, C], replicated. Returns [M, mb, H, W, C].
+    blocks). ``stacked_vars`` leaves are [L, ...] with L divisible by
+    the pipe size (shard_map shards them over the pipe axis);
+    ``microbatches`` is [M, mb, H, W, C]. The returned callable holds
+    ONE jit'd program — reuse it across batches (same shapes hit the
+    jit cache).
     """
     S = mesh.shape[axis_name]
-    M = microbatches.shape[0]
-    L = jax.tree.leaves(stacked_vars)[0].shape[0]
-    if L % S:
-        raise ValueError(f"{L} blocks do not split over {S} stages")
+    perm = [(i, (i + 1) % S) for i in range(S)]
 
     def stage(vars_local, mbs):
         s = jax.lax.axis_index(axis_name)
-        perm = [(i, (i + 1) % S) for i in range(S)]
+        M = mbs.shape[0]
 
         def tick(buf, t):
             # stage 0 ingests microbatch t (clamped once the stream is
@@ -117,16 +146,31 @@ def pipelined_apply(mesh: Mesh, block_fn: Callable, stacked_vars,
         buf0 = jax.lax.pcast(jnp.zeros_like(mbs[0]), axis_name,
                              to="varying")
         _, outs = jax.lax.scan(tick, buf0, jnp.arange(M + S - 1))
-        return outs  # [M+S-1, mb, ...] per stage
+        # finished microbatches are the LAST stage's ticks S-1..M+S-2;
+        # mask+psum so a single replicated [M, ...] leaves the program
+        # instead of every stage's full tick stream
+        res = jnp.where(s == S - 1, outs[S - 1:], jnp.zeros(()))
+        return jax.lax.psum(res, axis_name)
 
-    sm = shard_map(stage, mesh=mesh,
-                   in_specs=(P(axis_name), P()),
-                   out_specs=P(axis_name))
-    outs = jax.jit(sm)(stacked_vars, microbatches)
-    # out_specs stacked the per-stage streams: [S*(M+S-1), ...]. The
-    # finished microbatches are the last stage's ticks S-1 .. M+S-2.
-    T = M + S - 1
-    return outs[(S - 1) * T + (S - 1): S * T]
+    jitted = jax.jit(shard_map(stage, mesh=mesh,
+                               in_specs=(P(axis_name), P()),
+                               out_specs=P()))
+
+    def apply(stacked_vars, microbatches):
+        L = jax.tree.leaves(stacked_vars)[0].shape[0]
+        if L % S:
+            raise ValueError(f"{L} blocks do not split over {S} stages")
+        return jitted(stacked_vars, microbatches)
+
+    return apply
+
+
+def pipelined_apply(mesh: Mesh, block_fn: Callable, stacked_vars,
+                    microbatches, axis_name: str = PIPE_AXIS):
+    """One-shot convenience over :func:`build_pipeline` (builds a fresh
+    program — loops should build once and reuse)."""
+    return build_pipeline(mesh, block_fn, axis_name)(stacked_vars,
+                                                     microbatches)
 
 
 def split_microbatches(x, n_micro: int):

@@ -16,6 +16,7 @@ import pytest
 
 from dgvcc_tpu.nn.resnet import Bottleneck, ResNetTrunk
 from dgvcc_tpu.parallel.pp import (
+    build_pipeline,
     extract_stage_blocks,
     make_pipe_mesh,
     pipelined_apply,
@@ -95,6 +96,22 @@ def test_pipeline_from_real_trunk_stage():
         rtol=1e-5, atol=1e-5)
 
 
+def test_built_pipeline_reuses_one_program():
+    """build_pipeline returns a reusable callable — two different
+    batches through the same program both match sequential."""
+    blocks, block_fn, c = _bottleneck_blocks(4)
+    run = build_pipeline(make_pipe_mesh(4), block_fn)
+    stacked = stack_block_variables(blocks)
+    rng = np.random.default_rng(9)
+    for seed in (0, 1):
+        batch = jnp.asarray(rng.normal(size=(4, 8, 8, c))
+                            .astype(np.float32))
+        out = run(stacked, split_microbatches(batch, 4))
+        ref = _sequential(blocks, block_fn, batch)
+        np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_shape_validation():
     blocks, block_fn, c = _bottleneck_blocks(6)
     mesh = make_pipe_mesh(4)
@@ -103,3 +120,13 @@ def test_shape_validation():
         pipelined_apply(mesh, block_fn, stack_block_variables(blocks), mbs)
     with pytest.raises(ValueError, match="not divisible"):
         split_microbatches(jnp.zeros((5, 3)), 2)
+
+
+def test_extract_rejects_duplicate_trunks():
+    trunk = ResNetTrunk(layers=(1, 1, 3, 1), block="bottleneck",
+                        dtype=jnp.float32)
+    v = dict(trunk.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    two = {"params": {"a": v["params"], "b": v["params"]}}
+    with pytest.raises(ValueError, match="appears 2 times"):
+        extract_stage_blocks(two, stage=3, start=1, stop=2)
