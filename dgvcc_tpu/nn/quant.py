@@ -355,6 +355,8 @@ class QuantizedConvNet:
         self.scales = {k: float(v) for k, v in scales.items()}
         q: Dict[str, Dict[str, Any]] = {}
         for name, site in folded.items():
+            if name == "__extras__":
+                continue
             if name in self.fp_sites or name not in self.scales:
                 q[name] = {"kernel": jnp.asarray(site["kernel"], dtype),
                            "bias": jnp.asarray(site["bias"], jnp.float32)}
@@ -363,6 +365,12 @@ class QuantizedConvNet:
                 q[name] = {"w8": jnp.asarray(w8), "ws": jnp.asarray(ws),
                            "bias": jnp.asarray(site["bias"], jnp.float32)}
         self.qparams: Dict[str, Any] = {"sites": q}
+        if "__extras__" in folded:
+            # non-conv learned glue the forward needs in fp (e.g.
+            # DSSINet's PReLU slopes) — fold_fn stashes them under
+            # '__extras__' and forward_fn takes a third argument
+            self.qparams["extras"] = jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.float32), folded["__extras__"])
         self._jitted = jax.jit(self._forward)
 
     def _qconv(self, qparams, x, name: str, relu: bool = True,
@@ -402,7 +410,10 @@ class QuantizedConvNet:
         def qconv(x, name, **kw):
             return self._qconv(qparams, x, name, **kw)
 
-        return self.forward_fn(qconv, frames.astype(self.dtype))
+        x = frames.astype(self.dtype)
+        if "extras" in qparams:
+            return self.forward_fn(qconv, x, qparams["extras"])
+        return self.forward_fn(qconv, x)
 
     def __call__(self, frames):
         return self._jitted(self.qparams, frames)
@@ -643,6 +654,136 @@ def sasnet_forward(qconv, x, block_size: int = 32):
     return jnp.sum(dens * conf, axis=-1, keepdims=True)
 
 
+# -- DSSINet (baselines/DSSINet.py:285-417; shared VGG-PReLU pyramid +
+#    CRF message passing — BN-free, so 'folding' is pure extraction).
+#    The SHARED stages run once per pyramid chain (f1/f2/f3) and each
+#    message-passing conv runs once per CRF iteration: every application
+#    gets its own site name (own activation scale) aliasing the same
+#    weights. PReLU slopes ride the '__extras__' channel and stay fp.
+
+_DSSI_STAGES = (("stage1", (64, 64), False), ("stage2", (128, 128), True),
+                ("stage3", (256, 256, 256), True),
+                ("stage4", (512, 512, 512), True))
+_DSSI_PASSINGS = (("passing1", 2), ("passing2", 3), ("passing3", 3),
+                  ("passing4", 2))
+
+
+def dssinet_fold(variables) -> Dict:
+    params = jax.tree.map(np.asarray, variables["params"])
+    folded: Dict[str, Any] = {}
+    extras: Dict[str, np.ndarray] = {}
+    for sname, chans, _ in _DSSI_STAGES:
+        for app in ("f1", "f2", "f3"):
+            for i in range(len(chans)):
+                folded[f"{sname}/conv{i}@{app}"] = _plain_conv_site(
+                    params[sname][f"conv{i}"])
+        for i in range(len(chans) - 1):
+            extras[f"{sname}/prelu{i}"] = params[sname][f"prelu{i}"]["alpha"]
+    for a in ("stage1_act", "stage4_act", "out_prelu"):
+        extras[a] = params[a]["alpha"]
+    for pname, n in _DSSI_PASSINGS:
+        extras[f"{pname}/prelu"] = params[pname]["prelu"]["alpha"]
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                for it in (0, 1):
+                    folded[f"{pname}/w_0_{j}_{i}_0@it{it}"] = \
+                        _plain_conv_site(params[pname][f"w_0_{j}_{i}_0"])
+    for k in range(1, 6):
+        folded[f"decoder{k}/c1"] = _plain_conv_site(params[f"decoder{k}"]["c1"])
+        folded[f"decoder{k}/c2"] = _plain_conv_site(params[f"decoder{k}"]["c2"])
+    for k in range(1, 5):
+        folded[f"pw{k}"] = _plain_conv_site(params[f"pw{k}"])
+    folded["__extras__"] = extras
+    return folded
+
+
+def dssinet_forward(qconv, x, extras):
+    """Mirror of models/baselines/dssinet.py __call__ (eval), itself
+    parity-tested against the reference module (tests/test_eval_parity)."""
+    from dgvcc_tpu.models.baselines.dssinet import _resize
+
+    def prelu(t, name):
+        a = extras[name].astype(t.dtype)
+        return jnp.maximum(t, 0) + a * jnp.minimum(t, 0)
+
+    stage_map = {s: (chans, pool) for s, chans, pool in _DSSI_STAGES}
+
+    def stage(t, sname, app):
+        chans, pool = stage_map[sname]
+        if pool:
+            t = _maxpool(t)
+        for i in range(len(chans)):
+            t = qconv(t, f"{sname}/conv{i}@{app}", relu=False)
+            if i < len(chans) - 1:
+                t = prelu(t, f"{sname}/prelu{i}")
+        return t
+
+    def passing(states, pname):
+        n = len(states)
+        hidden = list(states)
+        for it in range(2):
+            new = []
+            for i in range(n):
+                binary = None
+                for j in range(n):
+                    if i == j:
+                        continue
+                    msg = qconv(hidden[j], f"{pname}/w_0_{j}_{i}_0@it{it}",
+                                relu=False)
+                    binary = msg if binary is None else binary + msg
+                binary = prelu(binary, f"{pname}/prelu")
+                new.append(jax.nn.relu(hidden[i] + binary))
+            hidden = new
+        return hidden
+
+    def decoder(t, k):
+        t = qconv(t, f"decoder{k}/c1")
+        return qconv(t, f"decoder{k}/c2", relu=False)
+
+    n, h, w, c = x.shape
+    s1 = _resize(x, (h * 2, w * 2))
+    s2 = x
+    s3 = _resize(x, (h // 2, w // 2))
+
+    f1_c2 = stage(prelu(stage(s1, "stage1", "f1"), "stage1_act"),
+                  "stage2", "f1")
+    f2_c1 = stage(s2, "stage1", "f2")
+    f1_c2, f2_c1 = passing([f1_c2, f2_c1], "passing1")
+    agg4 = [f1_c2, f2_c1]
+
+    f1_c3 = stage(f1_c2, "stage3", "f1")
+    f2_c2 = stage(f2_c1, "stage2", "f2")
+    f3_c1 = stage(s3, "stage1", "f3")
+    f1_c3, f2_c2, f3_c1 = passing([f1_c3, f2_c2, f3_c1], "passing2")
+    agg3 = [f1_c3, f2_c2, f3_c1]
+
+    f1_c4 = stage(f1_c3, "stage4", "f1")
+    f2_c3 = stage(f2_c2, "stage3", "f2")
+    f3_c2 = stage(f3_c1, "stage2", "f3")
+    f1_c4, f2_c3, f3_c2 = passing([f1_c4, f2_c3, f3_c2], "passing3")
+    agg2 = [f1_c4, f2_c3, f3_c2]
+
+    f2_c4 = stage(f2_c3, "stage4", "f2")
+    f3_c3 = stage(f3_c2, "stage3", "f3")
+    f2_c4, f3_c3 = passing([f2_c4, f3_c3], "passing4")
+    agg1 = [f2_c4, f3_c3]
+
+    f3_c4 = prelu(stage(f3_c3, "stage4", "f3"), "stage4_act")
+
+    dens1 = prelu(decoder(f3_c4, 1), "out_prelu")
+    dens2 = prelu(decoder(agg1, 2)
+                  + qconv(upsample(dens1, 2), "pw1", relu=False), "out_prelu")
+    dens3 = prelu(decoder(agg2, 3)
+                  + qconv(upsample(dens2, 2), "pw2", relu=False), "out_prelu")
+    dens4 = prelu(decoder(agg3, 4)
+                  + qconv(upsample(dens3, 2), "pw3", relu=False), "out_prelu")
+    dens5 = jax.nn.relu(decoder(agg4, 5)
+                        + qconv(upsample(dens4, 2), "pw4", relu=False))
+    return dens5
+
+
 # family → (fold, forward, fp_sites); fp sites are the tiny 1x1 heads
 # and the 2x2-resolution confidence chains (quantizing them saves
 # nothing and costs accuracy)
@@ -667,16 +808,23 @@ def _family_spec(model):
                        | {f"ConvRelu_{i}" for i in range(10, 20)})
         return (sasnet_fold,
                 lambda qc, x: sasnet_forward(qc, x, block_size=bs), fp)
+    from dgvcc_tpu.models.baselines.dssinet import DSSINet
+
+    if isinstance(model, DSSINet):
+        fp = frozenset({f"decoder{k}/c2" for k in range(1, 6)}
+                       | {f"pw{k}" for k in range(1, 5)})
+        return dssinet_fold, dssinet_forward, fp
     return None
 
 
 def build_quantized(model, variables, calib_frames, dtype=jnp.bfloat16,
                     fused_mem: Optional[bool] = None, min_ch: int = 128):
     """Quantize any supported model for serving: DG family →
-    :class:`QuantizedDG`; CSRNet / MCNN / BL-VGG / SASNet →
+    :class:`QuantizedDG`; CSRNet / MCNN / BL-VGG / SASNet / DSSINet →
     :class:`QuantizedConvNet`. Raises a clear error otherwise (the
     whitening counters compute instance statistics at eval and are not
-    foldable — see ARCHITECTURE.md).
+    foldable — see ARCHITECTURE.md; CCTrans is attention-dominated and
+    needs a different recipe).
 
     ``min_ch``: sites with fewer than this many input AND output
     channels stay bf16. Low-channel convs don't saturate the int8 MXU
@@ -695,7 +843,7 @@ def build_quantized(model, variables, calib_frames, dtype=jnp.bfloat16,
     if spec is None:
         raise ValueError(
             "int8 quantization supports the DG family and the conv(+BN) "
-            "baselines csrnet/mcnn/bl/sasnet; got "
+            "baselines csrnet/mcnn/bl/sasnet/dssinet; got "
             f"{type(model).__name__} (whitening counters need instance "
             "stats at eval and stay fp)")
     fold_fn, fwd_fn, fp_sites = spec

@@ -65,7 +65,7 @@ class VideoCounter:
         if quantize:
             # int8 PTQ serving graph (nn/quant.py): ~1.5x the bf16 fps
             # on v5e. Supports the DG family + the conv(+BN) baselines
-            # (csrnet/mcnn/bl/sasnet). Activation scales MUST come from
+            # (csrnet/mcnn/bl/sasnet/dssinet). Activation scales MUST come from
             # real imagery — with calib_frames they're calibrated now,
             # otherwise calibration happens lazily on the first batch.
             from dgvcc_tpu.models.baselines.bl_vgg import BLVGG
@@ -79,7 +79,7 @@ class VideoCounter:
                 raise ValueError(
                     "quantize=True supports the DG family "
                     "(base/mem/memadd/cls/memcls/final) and the "
-                    "csrnet/mcnn/bl/sasnet baselines; got "
+                    "csrnet/mcnn/bl/sasnet/dssinet baselines; got "
                     f"{type(model).__name__}")
             if calib_frames is None:
                 self._quant_pending = True

@@ -53,8 +53,10 @@ HEAVY = (
     "test_eval_parity.py::test_sw_vgg_counter_eval_parity",
     "test_quant.py::test_baseline_folded_fp_matches_flax_eval[sasnet]",
     "test_quant.py::test_baseline_folded_fp_matches_flax_eval[bl_bn]",
+    "test_quant.py::test_baseline_folded_fp_matches_flax_eval[dssinet]",
     "test_quant.py::test_baseline_int8_counts_track_fp[sasnet]",
     "test_quant.py::test_baseline_int8_counts_track_fp[bl_bn]",
+    "test_quant.py::test_baseline_int8_counts_track_fp[dssinet]",
     "test_graft_entry.py::test_dryrun_multichip",
     "test_e2e.py::test_base_model_tests_every_epoch",
     "test_e2e.py::test_cli_train_test_end_to_end",

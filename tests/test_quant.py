@@ -197,11 +197,12 @@ BASELINE_QUANT_CASES = [
     ("bl", {}),
     ("bl", {"batch_norm": True}),
     ("sasnet", {}),
+    ("dssinet", {}),
 ]
+_QUANT_IDS = ["csrnet", "mcnn", "bl", "bl_bn", "sasnet", "dssinet"]
 
 
-@pytest.mark.parametrize("name,kw", BASELINE_QUANT_CASES,
-                         ids=["csrnet", "mcnn", "bl", "bl_bn", "sasnet"])
+@pytest.mark.parametrize("name,kw", BASELINE_QUANT_CASES, ids=_QUANT_IDS)
 def test_baseline_folded_fp_matches_flax_eval(name, kw):
     from dgvcc_tpu.nn.quant import QuantizedConvNet, _family_spec
 
@@ -219,8 +220,7 @@ def test_baseline_folded_fp_matches_flax_eval(name, kw):
                                atol=1e-4 * max(np.abs(ref).max(), 1.0))
 
 
-@pytest.mark.parametrize("name,kw", BASELINE_QUANT_CASES,
-                         ids=["csrnet", "mcnn", "bl", "bl_bn", "sasnet"])
+@pytest.mark.parametrize("name,kw", BASELINE_QUANT_CASES, ids=_QUANT_IDS)
 def test_baseline_int8_counts_track_fp(name, kw):
     from dgvcc_tpu.nn.quant import build_quantized
 
