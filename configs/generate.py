@@ -64,11 +64,22 @@ def base_config(version, train_root, test_root, mode="final", model=None,
     }
 
 
-def emit(rel, cfg):
+def emit(rel, cfg, comments=None):
+    """``comments``: {top_level_key: text} — comment lines inserted
+    above that key's line in the dumped YAML."""
     path = os.path.join(HERE, rel)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    text = yaml.safe_dump(cfg, sort_keys=False)
+    if comments:
+        out = []
+        for line in text.splitlines():
+            key = line.split(":", 1)[0]
+            if not line.startswith(" ") and key in comments:
+                out += [f"# {c}" for c in comments[key].splitlines()]
+            out.append(line)
+        text = "\n".join(out) + "\n"
     with open(path, "w") as f:
-        yaml.safe_dump(cfg, f, sort_keys=False)
+        f.write(text)
     print("wrote", rel)
 
 
@@ -192,6 +203,17 @@ def main():
                 mode="isw" if kind == "isw" else "simple", patch_size=1440,
                 model=baseline_model(kind), train_ds=ds(a), test_ds=ds(b)))
 
+    # ---- TPU showcase: large-crop memory recipe ----------------------------
+    # remat (rematerialize encoder stages) + gradient accumulation:
+    # 512^2 crops at effective batch 32 in the activation memory of
+    # batch 8 — the knobs QUICKSTART section 3 documents.
+    big = base_config("sta_final_bigcrop", "sta", "stb", num_epochs=80,
+                      batch_size=8)
+    big["train_dataset"]["params"]["crop_size"] = 512
+    big["model"]["params"]["remat"] = True
+    big["accum_steps"] = 4
+    emit("tpu/sta_final_bigcrop.yml", big)
+
     # ---- classic counting baselines ----------------------------------------
     classic = {
         "csrnet": {"downsample": 8}, "mcnn": {"downsample": 4},
@@ -209,13 +231,24 @@ def main():
             loss = None
             ds_train = dataset("sta", name="den", crop=320,
                                downsample=opts["downsample"])
-        emit(f"baselines/sta_{name}.yml", base_config(
+        cfg = base_config(
             f"sta_{name}", "sta", "stb", mode="simple", num_epochs=100,
             patch_size=1440, batch_size=8, loss=loss,
             model={"name": name, "params": {"pretrained": True}},
             train_ds=ds_train,
             test_ds=dataset("stb", name="den", crop=320,
-                            downsample=opts["downsample"])))
+                            downsample=opts["downsample"]))
+        comments = None
+        if name == "bl":
+            cfg["log_para"] = 1
+            comments = {"log_para": (
+                "log_para 1 — the Bayesian loss trains raw count "
+                "densities (no x1000\nscaling, unlike the MSE path: "
+                "basetrainer.py:37 vs :44-45), while\npredict always "
+                "divides by log_para (basetrainer.py:60-64). The\n"
+                "reference ships no BL config; log_para must be 1 for "
+                "BL counting to\nbe consistent.")}
+        emit(f"baselines/sta_{name}.yml", cfg, comments=comments)
 
 
 if __name__ == "__main__":
