@@ -76,6 +76,44 @@ def test_accum_state_checkpoint_roundtrip(tmp_path):
         np.asarray(st.opt_state.acc_grads["w"]))
 
 
+def test_accum_under_data_parallel_mesh():
+    """MultiSteps inside the shard_map DP step: params stay frozen (and
+    replicated) through the first micro-step, update on the second."""
+    import jax.numpy as jnp
+
+    from dgvcc_tpu.core.registry import LOSSES, MODELS
+    import dgvcc_tpu.losses  # noqa: F401
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.parallel import make_mesh, shard_batch
+    from dgvcc_tpu.parallel.mesh import build_parallel_train_step, replicate
+    from dgvcc_tpu.train.optim import build_optimizer
+    from dgvcc_tpu.train.state import create_train_state
+
+    mesh = make_mesh(8)
+    model = MODELS.build("mcnn", dtype=jnp.float32)
+    tx = optax.MultiSteps(build_optimizer(
+        {"name": "adam", "params": {"lr": 1e-3}}), every_k_schedule=2)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), tx)
+    loss = LOSSES.build("mse")
+    step = build_parallel_train_step(model, loss, "simple", 1000.0, mesh,
+                                     donate=False)
+
+    rng = np.random.default_rng(5)
+    batch = shard_batch(mesh, {
+        "img1": rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+        "dmap": rng.uniform(0, 0.01, (8, 8, 8, 1)).astype(np.float32),
+    })
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state = replicate(mesh, state)
+    state, _ = step(state, dict(batch), jax.random.PRNGKey(1), jnp.int32(0))
+    mid = np.asarray(jax.tree.leaves(state.params)[0])
+    np.testing.assert_array_equal(mid, np.asarray(p0))
+    state, _ = step(state, dict(batch), jax.random.PRNGKey(2), jnp.int32(0))
+    done = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.array_equal(done, np.asarray(p0))
+
+
 def test_trainer_wires_accum_steps(tmp_path):
     """`accum_steps: 2` in a config → the trainer's optimizer state is a
     MultiSteps accumulator (mini_step/acc_grads present)."""
