@@ -130,7 +130,10 @@ def _export(trainer, cfg, template: str, out: str):
                 "export the generator, use a gen-family config.")
         print("[export] joint config: exporting the counting regressor "
               "(use a gen-family config to export the generator)")
-    trainer.load_ckpt(cfg.checkpoint)
+    # strict: exporting weights that failed to load (wrong family, wrong
+    # shapes — merged non-strictly they'd stay random-init) must be a
+    # loud error, never a silently-garbage .pth
+    trainer.load_ckpt(cfg.checkpoint, strict=True)
     sd = export_reference_checkpoint(
         trainer._variables(), load_torch_state_dict(template),
         trainer.model)

@@ -42,6 +42,7 @@ reference checkpoint or a randomly initialized reference module's
 
 from __future__ import annotations
 
+import bisect
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -122,7 +123,7 @@ def derive_export_map(variables: Dict, template_sd: Dict[str, np.ndarray],
         untouched = (lo_ids == -1) & (hi_ids == -1)
         if untouched.all():
             continue  # untouched leaf (not sourced from the template)
-        if untouched.any() or (lo_ids == -1).any() or (hi_ids == -1).any():
+        if (lo_ids == -1).any() or (hi_ids == -1).any():
             raise ValueError(
                 f"leaf {'/'.join(path)} is only PARTIALLY fed by the "
                 "template state_dict — refusing a partial export")
@@ -173,7 +174,11 @@ def _fill(tree):
 
 
 def _locate(bounds, idx: int) -> str:
-    for lo, hi, k in bounds:
+    """bounds is sorted by lo and the ranges are disjoint — binary
+    search the last range starting at or before idx."""
+    i = bisect.bisect_right(bounds, (idx, float("inf"), "")) - 1
+    if i >= 0:
+        lo, hi, k = bounds[i]
         if lo <= idx < hi:
             return k
     raise ValueError(f"probe id {idx} outside every template tensor")
@@ -195,15 +200,19 @@ def export_reference_checkpoint(variables: Dict,
     # mapped keys export as float32 (the trained precision) even if the
     # template was saved lower-precision — torch's load_state_dict casts
     # into the module dtype, and downcasting here would silently break
-    # the bit-exact round trip. Untouched keys pass through as-is.
-    out = {k: np.array(np.asarray(v), copy=True)
-           for k, v in template_sd.items()}
+    # the bit-exact round trip. Untouched keys pass through as-is
+    # (mapped keys are fully rebuilt below — asserted — so only the
+    # unmapped ones need copying).
+    mapped_keys = {key for key, _ in mapping.values()}
+    out = {k: np.array(v, copy=True) for k, v in template_sd.items()
+           if k not in mapped_keys}
     buf: Dict[str, np.ndarray] = {}
     written: Dict[str, np.ndarray] = {}
     for path, (key, idx) in mapping.items():
         vals = np.asarray(_get(variables, path), np.float32).ravel()
         if key not in buf:
-            buf[key] = np.asarray(template_sd[key], np.float32).ravel().copy()
+            buf[key] = np.empty(int(np.asarray(template_sd[key]).size),
+                                np.float32)
             written[key] = np.zeros(buf[key].size, bool)
         # within-leaf duplicate indices (a converter broadcasting one
         # torch element into several leaf positions): all writes to one
@@ -228,6 +237,15 @@ def export_reference_checkpoint(variables: Dict,
         buf[key][idx] = vals
         written[key][idx] = True
     for key, flat in buf.items():
+        # all-or-nothing coverage: a partially-written tensor would
+        # silently interleave trained values with stale template values
+        # — the one mixed state the per-leaf guards can't see
+        if not written[key].all():
+            n = int((~written[key]).sum())
+            raise ValueError(
+                f"torch key {key} is only partially covered by the "
+                f"export ({n} of {written[key].size} elements never "
+                "written) — refusing a mixed trained/template tensor")
         out[key] = flat.reshape(np.asarray(template_sd[key]).shape)
     return out
 

@@ -85,8 +85,13 @@ def load_checkpoint(path: str, state, strict: bool = False):
             warnings.append(f"opt_state not restored: {e}")
     if "step" in loaded:
         new_state = new_state.replace(step=np.asarray(loaded["step"]))
-    if strict and warnings:
-        raise ValueError("strict load failed:\n" + "\n".join(warnings))
+    if strict:
+        # strict about WEIGHTS (missing/unexpected/shape-mismatched
+        # params or batch_stats); an optimizer-state mismatch only means
+        # the optimizer config changed and stays a warning
+        fatal = [w for w in warnings if not w.startswith("opt_state")]
+        if fatal:
+            raise ValueError("strict load failed:\n" + "\n".join(fatal))
     return new_state, loaded.get("extra", {}), warnings
 
 

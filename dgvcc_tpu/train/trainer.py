@@ -308,9 +308,12 @@ class DGTrainer:
     def _variables(self):
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
-    def load_ckpt(self, path):
+    def load_ckpt(self, path, strict: bool = False):
         """Accepts a single path or a [gen_ckpt, reg_ckpt] 2-list
-        (dgtrainer.py:35-41)."""
+        (dgtrainer.py:35-41). ``strict`` raises on any missing/
+        unexpected/mismatched weight instead of warning (optimizer-state
+        mismatches stay tolerated) — the export path uses it so a wrong
+        checkpoint can never silently export random-init weights."""
         if path is None:
             return
         if isinstance(path, (list, tuple)):
@@ -321,6 +324,16 @@ class DGTrainer:
                 raise ValueError(
                     f"pair checkpoint must be [gen_ckpt, reg_ckpt] or "
                     f"[gen_ckpt]; got {len(path)} entries: {path!r}")
+            if not self.joint:
+                if len(path) == 1:
+                    # a 1-list on a single-model trainer (e.g. a
+                    # generation-mode config) means THE model's ckpt —
+                    # falling into the pair branch would silently load
+                    # nothing
+                    return self.load_ckpt(path[0], strict=strict)
+                self.log(f"[ckpt] non-joint config: loading {path[1]} "
+                         f"into the model; generator entry {path[0]} "
+                         "ignored")
             gen_path = path[0]
             reg_path = path[1] if len(path) > 1 else None
             extra = {}
@@ -330,14 +343,16 @@ class DGTrainer:
                     self.gen_state = self._convert_reference_pth(
                         gen_path, self.gen_state, self.gen_model)
                 else:
-                    self.gen_state, extra, _ = load_checkpoint(gen_path, self.gen_state)
+                    self.gen_state, extra, _ = load_checkpoint(
+                        gen_path, self.gen_state, strict=strict)
             if reg_path:
                 self.log(f"Loading regressor checkpoint from {reg_path}")
                 if str(reg_path).endswith((".pth", ".pt")):
                     self.state = self._convert_reference_pth(
                         reg_path, self.state, self.model)
                 else:
-                    self.state, extra, _ = load_checkpoint(reg_path, self.state)
+                    self.state, extra, _ = load_checkpoint(
+                        reg_path, self.state, strict=strict)
             # pair checkpoints carry the same extra — resume exactly too
             self._resume = extra if isinstance(extra, dict) and "epoch" in extra else None
             if self._resume and self.scheduler is not None and "scheduler" in self._resume:
@@ -358,7 +373,8 @@ class DGTrainer:
             self._resume = None  # reference ckpts carry weights only
             return
         self.log(f"Loading checkpoint from {path}")
-        self.state, extra, warnings = load_checkpoint(path, self.state)
+        self.state, extra, warnings = load_checkpoint(path, self.state,
+                                                      strict=strict)
         for w in warnings[:10]:
             self.log(f"  [ckpt] {w}")
         # exact resume: restore epoch/best/scheduler from the ckpt extra

@@ -95,6 +95,8 @@ HEAVY = (
     "test_train_steps.py::test_baseline_train_step_runs_and_learns[cctrans]",
     "test_train_steps.py::test_baseline_train_step_runs_and_learns[dssinet]",
     "test_e2e.py::test_cli_export_task_roundtrip",
+    "test_e2e.py::test_export_rejects_wrong_family_checkpoint",
+    "test_e2e.py::test_nonjoint_single_list_checkpoint_loads",
     "test_e2e.py::test_cli_vis_task",
     "test_genjoint.py::test_generate_task_emits_restyled_images",
 )

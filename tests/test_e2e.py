@@ -477,6 +477,80 @@ def test_cli_export_task_roundtrip(tmp_path, synth_root):
     np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=1e-4)
 
 
+def test_export_rejects_wrong_family_checkpoint(tmp_path, synth_root):
+    """--task export must fail LOUDLY when the flax checkpoint doesn't
+    match the config's model (non-strict merge would otherwise export
+    random-init weights into a valid-looking .pth)."""
+    import yaml as _yaml
+
+    from dgvcc_tpu.cli.main import run
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    # train a CSRNet for one epoch → wrong-family ckpt for an mcnn config
+    cfg_path, _ = make_config(tmp_path, synth_root, mode="simple")
+    d = _yaml.safe_load(open(cfg_path))
+    ds = dict(d["train_dataset"]); ds["name"] = "den"
+    ds["params"] = dict(ds["params"], downsample=8)
+    d["model"] = {"name": "csrnet", "params": {"pretrained": False}}
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    d["version"] = "export_wrongfam"
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    t = DGTrainer(load_config(cfg_path))
+    t.build()
+    t.train(num_epochs=1)
+    wrong = os.path.join(t.log_dir, "last.ckpt")
+
+    d["model"] = {"name": "mcnn", "params": {"pretrained": False}}
+    ds["params"] = dict(ds["params"], downsample=4)
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    d["version"] = "export_wrongfam2"
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    with pytest.raises(ValueError, match="strict load failed"):
+        run(cfg_path, "export", ckpt=wrong,
+            template=str(tmp_path / "unused.pth"),
+            out=str(tmp_path / "never.pth"))
+
+
+def test_nonjoint_single_list_checkpoint_loads(tmp_path, synth_root):
+    """checkpoint: [path] on a non-joint config loads the model (it used
+    to fall into the gen/reg pair branch and silently load nothing)."""
+    import yaml as _yaml
+
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root, mode="simple")
+    d = _yaml.safe_load(open(cfg_path))
+    ds = dict(d["train_dataset"]); ds["name"] = "den"
+    ds["params"] = dict(ds["params"], downsample=4)
+    d["model"] = {"name": "mcnn", "params": {"pretrained": False}}
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    d["version"] = "onelist"
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    cfg = load_config(cfg_path)
+    t = DGTrainer(cfg)
+    t.build()
+    t.train(num_epochs=1)
+    last = os.path.join(t.log_dir, "last.ckpt")
+    trained = np.asarray(
+        list(jax_tree_leaves(t.state.params))[0])
+
+    t2 = DGTrainer(cfg)
+    t2.build()
+    before = np.asarray(list(jax_tree_leaves(t2.state.params))[0])
+    assert not np.array_equal(before, trained)  # fresh init differs
+    t2.load_ckpt([last], strict=True)
+    after = np.asarray(list(jax_tree_leaves(t2.state.params))[0])
+    np.testing.assert_array_equal(after, trained)
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
+
+
 def test_cli_vis_task(tmp_path, synth_root):
     """--task vis writes per-image panel PNGs (dgtrainer.py:239-299
     contract: the figure plus Cls/BCls/Pred dumps for cls-headed
