@@ -39,11 +39,21 @@ class MemoryBank(nn.Module):
     attention softmax over the prototype axis s; output is the convex
     combination of prototypes. Both contractions are MXU matmuls of
     shape (HW, K) x (K, S) and (HW, S) x (S, K).
+
+    ``tp_axis``: tensor-parallel mesh axis. The bank param shards over
+    its prototype axis (each device holds S/n prototypes — the step
+    builder's in_specs do the sharding); the softmax normalizes GLOBALLY
+    via pmax+psum and the back-projection psum-reduces — the same
+    decomposition as parallel/tp.py, here usable INSIDE the jitted
+    training step. With tp_axis set the second return value is the
+    local slice of the f32 attention PROBABILITIES (already globally
+    normalized), not raw logits.
     """
 
     mem_size: int = 1024
     mem_dim: int = 256
     fused: bool = False  # Pallas kernel on the logits-free inference path
+    tp_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,13 +63,18 @@ class MemoryBank(nn.Module):
         # the intent and must agree
         assert k == self.mem_dim, (
             f"MemoryBank mem_dim={self.mem_dim} but input has {k} channels")
+        # under TP the param leaf arriving in apply is the LOCAL shard —
+        # declare the local shape so flax's shape validation agrees
+        # (init always happens with a tp-free twin, outside shard_map)
+        s_local = (self.mem_size if self.tp_axis is None
+                   else self.mem_size // jax.lax.axis_size(self.tp_axis))
         mem = self.param(
             "mem",
-            lambda rng: jax.random.normal(rng, (k, self.mem_size), jnp.float32),
+            lambda rng: jax.random.normal(rng, (k, s_local), jnp.float32),
         ).astype(self.dtype)
         y_flat = y.reshape(b, h * w, k)
 
-        if self.fused and not need_logits:
+        if self.fused and not need_logits and self.tp_axis is None:
             # fused VMEM-resident attention (ops/mem_attention.py): skips
             # materializing the (B, P, S) attention tensor in HBM
             from dgvcc_tpu.ops.mem_attention import memory_attention_fused
@@ -70,6 +85,23 @@ class MemoryBank(nn.Module):
         logits = jnp.einsum(
             "bpk,ks->bps", y_flat, mem, preferred_element_type=jnp.float32
         ) / math.sqrt(k)
+        if self.tp_axis is not None:
+            # global softmax over the sharded prototype axis. The max
+            # shift is numerical-stability-only (its gradient cancels in
+            # softmax), so stop_gradient sidesteps pmax's missing VJP
+            # exactly.
+            gmax = jax.lax.pmax(
+                jnp.max(jax.lax.stop_gradient(logits), axis=-1),
+                self.tp_axis)
+            e = jnp.exp(logits - gmax[..., None])
+            z = jax.lax.psum(jnp.sum(e, axis=-1, keepdims=True),
+                             self.tp_axis)
+            probs = e / z
+            y_new = jax.lax.psum(
+                jnp.einsum("bps,sk->bpk", probs.astype(self.dtype), mem.T,
+                           preferred_element_type=jnp.float32),
+                self.tp_axis).astype(y.dtype)
+            return y_new.reshape(b, h, w, k), probs
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         y_new = jnp.einsum(
             "bps,sk->bpk", attn, mem.T, preferred_element_type=jnp.float32
@@ -114,6 +146,7 @@ class DGModel(nn.Module):
     den_dec_dropout: bool = True
     pretrained: bool = True  # honored by the weight loader, not the graph
     fused_mem: bool = False  # Pallas memory attention on inference (TPU)
+    tp_axis: Any = None  # shard the memory bank over this mesh axis (TP)
     remat: bool = False  # rematerialize encoder stages (memory ↓, FLOPs ↑)
     # perf knob: run the two training views as ONE 2B batch through the
     # encoder/decoder/heads instead of two sequential B-sized passes.
@@ -162,7 +195,8 @@ class DGModel(nn.Module):
 
         if self.use_mem:
             self.memory = MemoryBank(self.mem_size, self.mem_dim,
-                                     fused=self.fused_mem, dtype=self.dtype)
+                                     fused=self.fused_mem,
+                                     tp_axis=self.tp_axis, dtype=self.dtype)
         if self.use_cls:
             self.cls_conv1 = ConvBlock(256, bn=True, dtype=self.dtype)
             self.cls_drop = Dropout2d(self.cls_dropout)
@@ -275,18 +309,27 @@ class DGModel(nn.Module):
         y_m1 = dropout2d(y_den1 * e_mask, self.den_dropout, rng1)
         y_m2 = dropout2d(y_den2 * e_mask, self.den_dropout, rng2)
 
+        def consistency(l1, l2):
+            if self.tp_axis is None:
+                return jsd_as_mse(l1, l2)
+            # TP: l1/l2 are LOCAL slices of the globally-normalized
+            # attention probabilities — the full-bank MSE is the psum of
+            # local squared differences over the true element count
+            num = jax.lax.psum(jnp.sum((l1 - l2) ** 2), self.tp_axis)
+            return num / (l1.shape[0] * l1.shape[1] * self.mem_size)
+
         if self.batched_two_view:
             # one batched attention + head (the memory bank and the 1x1
             # den head have no batch statistics — bit-equivalent)
             y_new_b, logits_b = self.memory(
                 jnp.concatenate([y_m1, y_m2], axis=0))
             logits1, logits2 = jnp.split(logits_b, 2, axis=0)
-            loss_con = jsd_as_mse(logits1, logits2)
+            loss_con = consistency(logits1, logits2)
             d1, d2 = jnp.split(self.den_head(y_new_b, train=train), 2, axis=0)
         else:
             y_new1, logits1 = self.memory(y_m1)
             y_new2, logits2 = self.memory(y_m2)
-            loss_con = jsd_as_mse(logits1, logits2)
+            loss_con = consistency(logits1, logits2)
             d1 = self.den_head(y_new1, train=train)
             d2 = self.den_head(y_new2, train=train)
 
@@ -317,7 +360,8 @@ def _variant(name, **flags):
         # accept the reference YAML param names verbatim (configs/*.yml)
         for k in ("mem_size", "mem_dim", "den_dropout", "cls_dropout",
                   "cls_thrs", "err_thrs", "has_err_loss", "pretrained",
-                  "fused_mem", "remat", "batched_two_view", "dtype"):
+                  "fused_mem", "remat", "batched_two_view", "tp_axis",
+                  "dtype"):
             if k in params:
                 kw[k] = params[k]
         return DGModel(**kw)

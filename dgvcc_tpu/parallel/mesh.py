@@ -101,6 +101,93 @@ def build_parallel_train_step(
     return call
 
 
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D (data × model) mesh: batches shard over 'data', the memory
+    bank's prototype axis shards over 'model'."""
+    from dgvcc_tpu.parallel.tp import MODEL_AXIS
+
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_model
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+def _state_specs(state, model_axis: str):
+    """PartitionSpec tree for a TrainState: everything replicated except
+    the memory bank (params['memory']['mem'] and its optimizer moments,
+    matched by path) — those shard over ``model_axis`` on the prototype
+    axis. Covers adam mu/nu and MultiSteps acc_grads automatically
+    because their trees mirror the param structure."""
+
+    def spec(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if "memory" in names and "mem" in names and np.ndim(leaf) == 2:
+            return P(None, model_axis)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def shard_state_2d(mesh: Mesh, state):
+    """Place a TrainState for the 2-D step: bank sharded, rest replicated."""
+    from dgvcc_tpu.parallel.tp import MODEL_AXIS
+
+    specs = _state_specs(state, MODEL_AXIS)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        state, specs)
+
+
+def build_parallel_train_step_2d(
+    model, loss, mode: str, log_para: float, mesh: Mesh, donate: bool = True,
+    loss_fn: Optional[Callable] = None, con_weight: float = 10.0,
+) -> Callable:
+    """Composed data × tensor parallelism for the DG family: the train
+    step runs under shard_map over a 2-D ('data', 'model') mesh —
+    batches shard over 'data' exactly like :func:`build_parallel_train_step`,
+    and the prototype memory bank shards over 'model' (build the model
+    with ``tp_axis=MODEL_AXIS`` so its softmax normalizes globally via
+    pmax/psum, models/dg.py::MemoryBank — but INIT with a tp-free twin:
+    collectives are unbound outside shard_map and the param structure is
+    identical). Gradients of replicated params
+    are auto-psum'd by the shard_map transpose over BOTH axes (the
+    'model' contributions genuinely sum — each shard owns different
+    prototypes); the bank's own gradient stays per-shard. Equality with
+    the 1-D DP step is tested on the virtual CPU mesh (tests/test_tp2d.py).
+    """
+    per_shard = build_train_step(model, loss, mode, log_para,
+                                 axis_name=DATA_AXIS, loss_fn=loss_fn,
+                                 con_weight=con_weight)
+
+    def wrapped(state, batch, rng, epoch):
+        # fold the DATA shard index only: model shards must draw the
+        # SAME dropout masks (they compute one replicated forward around
+        # the sharded bank)
+        idx = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(rng, idx)
+        return per_shard(state, batch, rng, epoch)
+
+    from dgvcc_tpu.parallel.tp import MODEL_AXIS
+
+    cache = {}
+
+    def call(state, batch, rng, epoch):
+        # the spec tree depends on the state STRUCTURE only — build the
+        # shard_map + jit once and reuse (jit handles shape changes)
+        if "jitted" not in cache:
+            specs = _state_specs(state, MODEL_AXIS)
+            sm = shard_map(
+                wrapped, mesh=mesh,
+                in_specs=(specs, P(DATA_AXIS), P(), P()),
+                out_specs=(specs, P()),
+            )
+            cache["jitted"] = jax.jit(sm, donate_argnums=(0,) if donate
+                                      else ())
+        return cache["jitted"](state, batch, rng, epoch)
+
+    return call
+
+
 def build_parallel_joint_step(gen_model, reg_model, loss, log_para,
                               mesh: Mesh, donate: bool = True) -> Callable:
     """shard_map wrapper for the two-optimizer joint mode: generator and

@@ -58,6 +58,8 @@ HEAVY = (
     "test_quant.py::test_baseline_int8_counts_track_fp[bl_bn]",
     "test_quant.py::test_baseline_int8_counts_track_fp[dssinet]",
     "test_graft_entry.py::test_dryrun_multichip",
+    "test_tp2d.py::test_2d_step_matches_1d_dp",
+    "test_tp2d.py::test_2d_eval_forward_matches_single",
     "test_e2e.py::test_base_model_tests_every_epoch",
     "test_e2e.py::test_cli_train_test_end_to_end",
     "test_e2e.py::test_exact_resume_continues_epoch_and_best",
