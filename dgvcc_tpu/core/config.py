@@ -9,7 +9,9 @@ as-is (plain yaml.safe_load).
 
 TPU-specific extensions (all optional, defaulted):
     compute_dtype: 'bfloat16' | 'float32'   — activation dtype
-    mesh:          {data: N}                 — device mesh axis sizes
+    mesh:          {data: N[, model: M]}     — device mesh axis sizes;
+                   model>1 shards the DG memory bank over the model axis
+                   (composed 2-D data x tensor parallelism)
     donate:        bool                      — donate train-state buffers
     test_quantized: bool                     — run the test task through
                    the int8 PTQ serving graph (DG family; nn/quant.py)

@@ -92,8 +92,24 @@ class DGTrainer:
         # reference's SyncSwitchWhiten/SyncBatchNorm all_reduce
         # (models/ISW/sync_switchwhiten.py:12-56, ISW/config.py:135).
         dp = int((cfg.mesh or {}).get("data", 1))
+        mp = int((cfg.mesh or {}).get("model", 1))
         self.dp_mesh = None
-        if dp > 1:
+        self.mesh2d = None
+        if mp > 1:
+            # composed data × tensor parallelism: `mesh: {data: N, model: M}`
+            # — batches shard over 'data', the DG memory bank (and its
+            # optimizer moments) shard over 'model'
+            # (parallel/mesh.py::build_parallel_train_step_2d)
+            if jax.process_count() > 1:
+                raise ValueError("mesh model-axis sharding is single-"
+                                 "process for now (pod runs use data only)")
+            if self.mode == "joint":
+                raise ValueError("mesh: {model: M} is not supported for "
+                                 "joint mode")
+            from dgvcc_tpu.parallel.mesh import make_mesh_2d
+
+            self.mesh2d = make_mesh_2d(dp, mp)
+        elif dp > 1:
             if jax.process_count() > 1:
                 # pod: the mesh spans every process's chips; batches are
                 # assembled from per-host loader slices (multihost.py)
@@ -113,6 +129,26 @@ class DGTrainer:
             if "axis_name" in getattr(target, "__dataclass_fields__", {}):
                 model_params.setdefault("axis_name", DATA_AXIS)
         self.model = MODELS.build(cfg.model["name"], dtype=dtype, **model_params)
+        self.tp_model = None
+        if self.mesh2d is not None:
+            # the TRAIN twin carries tp_axis (bank collectives are only
+            # bound inside the step's shard_map); self.model stays
+            # tp-free for init / eval / vis / export — identical params
+            from dgvcc_tpu.parallel.tp import MODEL_AXIS
+
+            try:
+                self.tp_model = MODELS.build(cfg.model["name"], dtype=dtype,
+                                             tp_axis=MODEL_AXIS,
+                                             **model_params)
+            except TypeError:
+                raise ValueError(
+                    f"model '{cfg.model['name']}' has no model-axis "
+                    "sharding surface (tp_axis) — mesh: {model: M} "
+                    "supports the DG memory-bank family")
+            if getattr(self.tp_model, "tp_axis", None) != MODEL_AXIS:
+                raise ValueError(
+                    f"model '{cfg.model['name']}' ignores tp_axis — "
+                    "mesh: {model: M} supports the DG memory-bank family")
         self.loss = LOSSES.build(cfg.loss["name"], **cfg.loss.get("params", {}))
 
         # device_aug: host ships raw uint8 pre-crops; the full two-view
@@ -218,7 +254,20 @@ class DGTrainer:
             )
             # 'nocon' ablation: zero the final-mode consistency weight
             con_weight = 0.0 if cfg.extra.get("no_consistency") else 10.0
-            if self.dp_mesh is not None:
+            if self.mesh2d is not None:
+                if custom_loss_fn is not None:
+                    raise ValueError(f"mesh: {{model: {mp}}} is not "
+                                     f"supported for mode '{self.mode}'")
+                from dgvcc_tpu.parallel.mesh import (
+                    build_parallel_train_step_2d, shard_state_2d)
+
+                self.train_step = build_parallel_train_step_2d(
+                    self.tp_model, self.loss, self.mode, self.log_para,
+                    self.mesh2d, donate=cfg.donate, con_weight=con_weight)
+                self.state = shard_state_2d(self.mesh2d, self.state)
+                self.log(f"2-D mesh: data={dp} x model={mp} (memory bank "
+                         "sharded)")
+            elif self.dp_mesh is not None:
                 from dgvcc_tpu.parallel import build_parallel_train_step
                 from dgvcc_tpu.parallel.mesh import replicate
 

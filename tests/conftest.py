@@ -65,6 +65,7 @@ HEAVY = (
     "test_e2e.py::test_exact_resume_continues_epoch_and_best",
     "test_e2e.py::test_checkpoint_resume_roundtrip",
     "test_e2e.py::test_mesh_config_data_parallel_training",
+    "test_e2e.py::test_mesh_config_2d_training",
     "test_e2e.py::test_quantized_test_task",
     "test_e2e.py::test_preemption_graceful_save",
     "test_genjoint.py::test_mode_trains",

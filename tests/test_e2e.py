@@ -187,6 +187,58 @@ def test_mesh_config_data_parallel_training(tmp_path, synth_root):
     log = open(os.path.join(t.log_dir, "log.txt")).read()
     assert "Data parallel over 4 devices" in log
 
+def test_mesh_config_2d_training(tmp_path, synth_root):
+    """config mesh: {data: 2, model: 2} trains over a 2-D mesh — batch
+    sharded over 'data', memory bank over 'model' — end to end, with
+    single-device eval on the tp-free twin."""
+    import jax
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root)
+    cfg = load_config(cfg_path)
+    cfg.version = "mesh2d"
+    cfg.mesh = {"data": 2, "model": 2}
+    cfg.train_loader["batch_size"] = 2
+    t = DGTrainer(cfg)
+    t.build()
+    assert t.mesh2d is not None and t.dp_mesh is None
+    assert t.tp_model is not None
+    best, _ = t.train(num_epochs=1)
+    assert np.isfinite(best)
+    # after a step the bank (and its adam moments) live sharded on the mesh
+    from dgvcc_tpu.parallel.tp import MODEL_AXIS
+
+    spec = t.state.params["memory"]["mem"].sharding.spec
+    assert MODEL_AXIS in tuple(spec), spec
+    log = open(os.path.join(t.log_dir, "log.txt")).read()
+    assert "2-D mesh: data=2 x model=2" in log
+    # checkpoints reassemble the bank to the full prototype count
+    from dgvcc_tpu.train.checkpoint import load_checkpoint
+
+    s2, _, _ = load_checkpoint(os.path.join(t.log_dir, "last.ckpt"),
+                               t.state)
+    assert np.asarray(s2.params["memory"]["mem"]).shape[-1] == 64
+
+
+def test_mesh_model_axis_rejects_unsupported(tmp_path, synth_root):
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, _ = make_config(tmp_path, synth_root, mode="simple")
+    import yaml as _yaml
+    d = _yaml.safe_load(open(cfg_path))
+    ds = dict(d["train_dataset"]); ds["name"] = "den"
+    ds["params"] = dict(ds["params"], downsample=4)
+    d["model"] = {"name": "mcnn", "params": {"pretrained": False}}
+    d["train_dataset"] = d["val_dataset"] = d["test_dataset"] = ds
+    d["mesh"] = {"data": 2, "model": 2}
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    t = DGTrainer(load_config(cfg_path))
+    with pytest.raises(ValueError, match="model-axis|tp_axis|memory-bank"):
+        t.build()
+
+
 def test_base_model_tests_every_epoch(tmp_path, synth_root):
     """BaseTrainer protocol parity (basetrainer.py:149-173): dgnet-family
     configs test after EVERY epoch in train_and_test, not only on val
