@@ -57,6 +57,7 @@ _REPLICATED_PREFIX = "isw_"
 def build_parallel_train_step(
     model, loss, mode: str, log_para: float, mesh: Mesh, donate: bool = True,
     loss_fn: Optional[Callable] = None, con_weight: float = 10.0,
+    model_axis: Optional[str] = None,
 ) -> Callable:
     """shard_map-wrapped train step: per-shard fwd/bwd + pmean sync.
 
@@ -70,6 +71,19 @@ def build_parallel_train_step(
     INSIDE the model forward: build the model with
     ``axis_name=DATA_AXIS`` so SwitchWhiten/BatchNorm pmean their batch
     mean/cov over the mesh axis during training.
+
+    ``model_axis``: composed 2-D tensor parallelism over a ('data',
+    model_axis) mesh — the DG memory bank (and its optimizer moments,
+    matched by tree path) shard over the model axis; everything else
+    stays replicated. The model must be built with
+    ``tp_axis=model_axis`` (but INIT with a tp-free twin — collectives
+    are unbound outside shard_map; param structure is identical). The
+    dropout rng folds the DATA index only: model shards must draw the
+    same masks around their sharded bank. Gradients of replicated
+    params fall out of the shard_map transpose over BOTH axes (the
+    per-shard bank contributions genuinely sum); the bank's own
+    gradient stays per-shard. Numerical equality with the 1-D step is
+    tested in tests/test_tp2d.py.
     """
     per_shard = build_train_step(model, loss, mode, log_para,
                                  axis_name=DATA_AXIS, loss_fn=loss_fn,
@@ -77,26 +91,30 @@ def build_parallel_train_step(
 
     def wrapped(state, batch, consts, rng, epoch):
         # same dropout key on every shard would correlate noise; fold in
-        # the shard index
+        # the shard index (data axis only — see docstring)
         idx = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, idx)
         return per_shard(state, dict(batch, **consts), rng, epoch)
 
-    state_spec = P()  # replicated
     batch_spec = P(DATA_AXIS)
-
-    sm = shard_map(
-        wrapped,
-        mesh=mesh,
-        in_specs=(state_spec, batch_spec, state_spec, state_spec, state_spec),
-        out_specs=(state_spec, state_spec),
-    )
-    jitted = jax.jit(sm, donate_argnums=(0,) if donate else ())
+    cache = {}
 
     def call(state, batch, rng, epoch):
         consts = {k: batch.pop(k) for k in list(batch)
                   if k.startswith(_REPLICATED_PREFIX)}
-        return jitted(state, batch, consts, rng, epoch)
+        if "jitted" not in cache:
+            # the spec tree depends on the state STRUCTURE only — build
+            # the shard_map + jit once (jit handles shape changes)
+            state_spec = (P() if model_axis is None
+                          else _state_specs(state, model_axis))
+            sm = shard_map(
+                wrapped, mesh=mesh,
+                in_specs=(state_spec, batch_spec, P(), P(), P()),
+                out_specs=(state_spec, P()),
+            )
+            cache["jitted"] = jax.jit(sm, donate_argnums=(0,) if donate
+                                      else ())
+        return cache["jitted"](state, batch, consts, rng, epoch)
 
     return call
 
@@ -108,6 +126,10 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
 
     devices = devices if devices is not None else jax.devices()
     n = n_data * n_model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {{data: {n_data}, model: {n_model}}} needs {n} devices "
+            f"but only {len(devices)} are available")
     return Mesh(np.asarray(devices[:n]).reshape(n_data, n_model),
                 (DATA_AXIS, MODEL_AXIS))
 
@@ -142,50 +164,15 @@ def build_parallel_train_step_2d(
     model, loss, mode: str, log_para: float, mesh: Mesh, donate: bool = True,
     loss_fn: Optional[Callable] = None, con_weight: float = 10.0,
 ) -> Callable:
-    """Composed data × tensor parallelism for the DG family: the train
-    step runs under shard_map over a 2-D ('data', 'model') mesh —
-    batches shard over 'data' exactly like :func:`build_parallel_train_step`,
-    and the prototype memory bank shards over 'model' (build the model
-    with ``tp_axis=MODEL_AXIS`` so its softmax normalizes globally via
-    pmax/psum, models/dg.py::MemoryBank — but INIT with a tp-free twin:
-    collectives are unbound outside shard_map and the param structure is
-    identical). Gradients of replicated params
-    are auto-psum'd by the shard_map transpose over BOTH axes (the
-    'model' contributions genuinely sum — each shard owns different
-    prototypes); the bank's own gradient stays per-shard. Equality with
-    the 1-D DP step is tested on the virtual CPU mesh (tests/test_tp2d.py).
-    """
-    per_shard = build_train_step(model, loss, mode, log_para,
-                                 axis_name=DATA_AXIS, loss_fn=loss_fn,
-                                 con_weight=con_weight)
-
-    def wrapped(state, batch, rng, epoch):
-        # fold the DATA shard index only: model shards must draw the
-        # SAME dropout masks (they compute one replicated forward around
-        # the sharded bank)
-        idx = jax.lax.axis_index(DATA_AXIS)
-        rng = jax.random.fold_in(rng, idx)
-        return per_shard(state, batch, rng, epoch)
-
+    """:func:`build_parallel_train_step` over a 2-D ('data', 'model')
+    mesh with the memory bank sharded over 'model' — see the
+    ``model_axis`` paragraph there."""
     from dgvcc_tpu.parallel.tp import MODEL_AXIS
 
-    cache = {}
-
-    def call(state, batch, rng, epoch):
-        # the spec tree depends on the state STRUCTURE only — build the
-        # shard_map + jit once and reuse (jit handles shape changes)
-        if "jitted" not in cache:
-            specs = _state_specs(state, MODEL_AXIS)
-            sm = shard_map(
-                wrapped, mesh=mesh,
-                in_specs=(specs, P(DATA_AXIS), P(), P()),
-                out_specs=(specs, P()),
-            )
-            cache["jitted"] = jax.jit(sm, donate_argnums=(0,) if donate
-                                      else ())
-        return cache["jitted"](state, batch, rng, epoch)
-
-    return call
+    return build_parallel_train_step(model, loss, mode, log_para, mesh,
+                                     donate=donate, loss_fn=loss_fn,
+                                     con_weight=con_weight,
+                                     model_axis=MODEL_AXIS)
 
 
 def build_parallel_joint_step(gen_model, reg_model, loss, log_para,

@@ -128,6 +128,11 @@ class DGTrainer:
             target = MODELS.get(cfg.model["name"])
             if "axis_name" in getattr(target, "__dataclass_fields__", {}):
                 model_params.setdefault("axis_name", DATA_AXIS)
+        # tp_axis is trainer-managed (the TP twin below); a user value
+        # would crash init with an unbound-axis error deep in jax
+        if model_params.pop("tp_axis", None) is not None:
+            raise ValueError("model params must not set tp_axis — use "
+                             "mesh: {data: N, model: M} instead")
         self.model = MODELS.build(cfg.model["name"], dtype=dtype, **model_params)
         self.tp_model = None
         if self.mesh2d is not None:
@@ -149,6 +154,15 @@ class DGTrainer:
                 raise ValueError(
                     f"model '{cfg.model['name']}' ignores tp_axis — "
                     "mesh: {model: M} supports the DG memory-bank family")
+            if not getattr(self.tp_model, "use_mem", False):
+                raise ValueError(
+                    f"model '{cfg.model['name']}' has no memory bank to "
+                    "shard (use_mem=False) — a model axis would only "
+                    "replicate work; use mesh: {data: N}")
+            if self.tp_model.mem_size % mp:
+                raise ValueError(
+                    f"mem_size {self.tp_model.mem_size} does not divide "
+                    f"over model={mp} shards")
         self.loss = LOSSES.build(cfg.loss["name"], **cfg.loss.get("params", {}))
 
         # device_aug: host ships raw uint8 pre-crops; the full two-view
@@ -317,14 +331,22 @@ class DGTrainer:
             eval_ps = (800 if cfg.model["name"] in _BASETRAINER_MODELS
                        else self.patch_size)
         self.eval_patch_size = int(eval_ps)
-        if self.dp_mesh is not None:
+        eval_mesh = self.dp_mesh
+        if self.mesh2d is not None:
+            # eval runs the tp-free twin: re-purpose ALL dp*mp chips as
+            # a 1-D data mesh for tile counting (the bank resharding
+            # from the 2-D layout is a one-off device_put per eval)
+            from dgvcc_tpu.parallel import make_mesh
+
+            eval_mesh = make_mesh(dp * mp)
+        if eval_mesh is not None:
             # shard the val/test tile batches over the data axis — all
             # chips count, instead of N-1 idling through the eval loop
             from dgvcc_tpu.parallel.eval import ShardedTiledCounter
 
             self.counter = ShardedTiledCounter(
                 apply_fn, self.log_para, self.eval_patch_size,
-                self.dp_mesh)
+                eval_mesh)
         else:
             self.counter = TiledCounter(apply_fn, self.log_para,
                                         self.eval_patch_size)
