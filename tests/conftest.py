@@ -80,6 +80,7 @@ HEAVY = (
     "test_baselines.py::test_cctrans_window_padding",
     "test_serve_pipeline.py::test_cli_serve_task",
     "test_serve_pipeline.py::test_video_counter_quantized_tracks_fp",
+    "test_serve_mesh.py::test_sharded_quantized_counts_match_single_device",
     "test_quant.py::test_int8_counts_track_fp",
     "test_whitening.py::test_isw_protocol",
     "test_backbone_variants.py::test_densenet_counters_run",

@@ -44,6 +44,24 @@ def test_sharded_ragged_batch_pads_and_slices():
     np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_quantized_counts_match_single_device():
+    """quantize=True + mesh: the int8 serving graph shards its frame
+    batch over the data axis with the folded weights replicated
+    (serve.py:167-173) — per-frame counts must equal single-device int8."""
+    import jax.numpy as _jnp  # noqa: F811
+
+    frames = _frames(8, 96, 128, seed=3)
+    kw = dict(dtype=jnp.float32, quantize=True, calib_frames=frames[:2],
+              mem_size=8, mem_dim=16)
+    single = VideoCounter.from_checkpoint("final", None, **kw)
+    sharded = VideoCounter.from_checkpoint("final", None,
+                                           mesh=make_mesh(8), **kw)
+    assert sharded.quantized is not None
+    c1 = single.count_frames(frames)
+    c2 = sharded.count_frames(frames)
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-4)
+
+
 def test_sharded_tiled_path():
     # force the tiled path (threshold below the frame size); tiles of a
     # frame stay on its shard, per-frame tile-sums happen inside jit
