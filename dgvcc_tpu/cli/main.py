@@ -18,35 +18,55 @@ import os
 import shutil
 
 
-def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False):
-    """Stream per-frame crowd counts over a directory of images.
-
-    Beyond-reference serving surface (the reference's closest analog is
-    --task test/vis): decode on host, batch same-shape frames, pipeline
-    through serve.VideoCounter so H2D of batch t+1 overlaps compute of
-    t, print `name count` lines + a throughput summary.
-    """
-    import time
-
+def _load_calib(frames_dir: str, n: int = 4):
+    """First few frames of a directory, resized for scale calibration."""
     import numpy as np
     from PIL import Image
 
-    from dgvcc_tpu.serve import VideoCounter
-
     exts = (".jpg", ".jpeg", ".png", ".bmp")
-    names = sorted(n for n in os.listdir(frames_dir)
-                   if n.lower().endswith(exts))
+    names = sorted(fn for fn in os.listdir(frames_dir)
+                   if fn.lower().endswith(exts))
     if not names:
         raise SystemExit(f"no images under {frames_dir}")
+    return np.stack([
+        np.asarray(Image.open(os.path.join(frames_dir, fn))
+                   .convert("RGB").resize((256, 256)), np.uint8)
+        for fn in names[:max(1, n)]])
 
-    calib = None
-    if quantize:
-        # calibrate activation scales on the first real frames
-        first = names[: max(1, min(batch, 4))]
-        calib = np.stack([
-            np.asarray(Image.open(os.path.join(frames_dir, n))
-                       .convert("RGB").resize((256, 256)), np.uint8)
-            for n in first])
+
+def _quantize(cfg, frames_dir: str, out: str):
+    """Build + save an int8 serving artifact (nn/quant_io.py): fold BN,
+    calibrate activation scales on real frames from --frames, quantize,
+    and write one deployable file. Replicas then serve it with
+    `--task serve --artifact OUT` — no checkpoint or calibration
+    imagery at deploy time."""
+    from dgvcc_tpu.nn.quant_io import save_quantized
+    from dgvcc_tpu.serve import VideoCounter
+
+    if cfg.checkpoint is None:
+        raise SystemExit("--task quantize requires a checkpoint "
+                         "(config key 'checkpoint' or --ckpt)")
+    if frames_dir is None or out is None:
+        raise SystemExit("--task quantize requires --frames DIR "
+                         "(calibration imagery) and --out ARTIFACT")
+    counter = VideoCounter.from_checkpoint(
+        cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
+        quantize=True, calib_frames=_load_calib(frames_dir),
+        **cfg.model.get("params", {}))
+    save_quantized(counter.quantized, out, model_name=cfg.model["name"],
+                   model_params=cfg.model.get("params", {}))
+    n8 = sum("w8" in s for s in counter.quantized.qparams["sites"].values())
+    print(f"[quantize] wrote {out}: {n8} int8 sites "
+          f"(+{len(counter.quantized.qparams['sites']) - n8} fp)")
+
+
+def _build_counter(cfg, quantize: bool = False, artifact: str = None,
+                   frames_dir: str = None, batch: int = 4):
+    """One VideoCounter from the config: artifact deploy path, or
+    checkpoint (+ optional int8 calibration on --frames imagery); a
+    `mesh: {data: N}` config serves data-parallel."""
+    from dgvcc_tpu.serve import VideoCounter
+
     mesh = None
     dp = int((cfg.mesh or {}).get("data", 1))
     if dp > 1:
@@ -60,10 +80,57 @@ def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False):
             raise SystemExit(
                 f"mesh data={dp} but only {len(jax.devices())} devices")
         mesh = make_mesh(dp)
-    counter = VideoCounter.from_checkpoint(
+    if artifact is not None:
+        # prebuilt int8 artifact (--task quantize): skip checkpoint +
+        # calibration entirely — the replica deploy path
+        return VideoCounter.from_artifact(
+            artifact, log_para=cfg.log_para, mesh=mesh)
+    calib = None
+    if quantize:
+        if frames_dir is None:
+            raise SystemExit("--quantize without --artifact needs "
+                             "--frames DIR for scale calibration")
+        calib = _load_calib(frames_dir, n=max(1, min(batch, 4)))
+    return VideoCounter.from_checkpoint(
         cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
         quantize=quantize, calib_frames=calib, mesh=mesh,
         **cfg.model.get("params", {}))
+
+
+def _serve_http(cfg, port: int, quantize: bool = False,
+                artifact: str = None, frames_dir: str = None):
+    """`--task serve --http PORT`: network serving (serve_http.py) —
+    POST /count with image bytes returns {"count": N}."""
+    from dgvcc_tpu.serve_http import CountingServer
+
+    counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
+                             frames_dir=frames_dir)
+    CountingServer(counter, host="0.0.0.0", port=port,
+                   model_name=cfg.model["name"]).serve_forever()
+
+
+def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False,
+           artifact: str = None):
+    """Stream per-frame crowd counts over a directory of images.
+
+    Beyond-reference serving surface (the reference's closest analog is
+    --task test/vis): decode on host, batch same-shape frames, pipeline
+    through serve.VideoCounter so H2D of batch t+1 overlaps compute of
+    t, print `name count` lines + a throughput summary.
+    """
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    names = sorted(n for n in os.listdir(frames_dir)
+                   if n.lower().endswith(exts))
+    if not names:
+        raise SystemExit(f"no images under {frames_dir}")
+
+    counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
+                             frames_dir=frames_dir, batch=batch)
 
     def batches():
         """Consecutive same-shape frames batched together (mixed sizes
@@ -143,11 +210,20 @@ def _export(trainer, cfg, template: str, out: str):
 
 def run(config_path: str, task: str, frames: str = None, batch: int = 4,
         ckpt: str = None, quantize: bool = False, template: str = None,
-        out: str = None):
+        out: str = None, artifact: str = None, http: int = None):
     from dgvcc_tpu.core.config import load_config
     from dgvcc_tpu.train.trainer import DGTrainer
 
     cfg = load_config(config_path)
+    # `compile_cache: true` (or a path) persists XLA compilations across
+    # process restarts — serving replicas and repeated experiment runs
+    # skip straight to cached programs (core/cache.py; a cache built on
+    # different hardware is only ever a miss)
+    cc = cfg.extra.get("compile_cache")
+    if cc:
+        from dgvcc_tpu.core.cache import enable_compile_cache
+
+        enable_compile_cache(cc if isinstance(cc, str) else None)
     if ckpt is not None:
         # command-line override of the config's `checkpoint:` key
         # (resume/eval without editing the YAML; used by scripts/launch.py)
@@ -182,9 +258,16 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4,
     elif task == "generate":
         trainer.generate(checkpoint=cfg.checkpoint)
     elif task == "serve":
-        if frames is None:
-            raise SystemExit("--task serve requires --frames DIR")
-        _serve(cfg, frames, batch, quantize=quantize)
+        if http is not None:
+            _serve_http(cfg, http, quantize=quantize, artifact=artifact,
+                        frames_dir=frames)
+        else:
+            if frames is None:
+                raise SystemExit(
+                    "--task serve requires --frames DIR (or --http PORT)")
+            _serve(cfg, frames, batch, quantize=quantize, artifact=artifact)
+    elif task == "quantize":
+        _quantize(cfg, frames, out)
     elif task == "export":
         _export(trainer, cfg, template, out)
     else:
@@ -196,7 +279,7 @@ def build_parser():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--task", type=str, default="train",
                         choices=["train", "test", "vis", "train_test",
-                                 "generate", "serve", "export"])
+                                 "generate", "serve", "export", "quantize"])
     parser.add_argument("--frames", type=str, default=None,
                         help="image directory for --task serve")
     parser.add_argument("--batch", type=int, default=4,
@@ -210,7 +293,16 @@ def build_parser():
                         help="--task export: a same-architecture "
                              "reference .pth for torch key names/shapes")
     parser.add_argument("--out", type=str, default=None,
-                        help="--task export: destination .pth path")
+                        help="--task export: destination .pth path; "
+                             "--task quantize: destination artifact path")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="--task serve: a saved int8 artifact "
+                             "(--task quantize output) — serves without "
+                             "checkpoint or calibration")
+    parser.add_argument("--http", type=int, default=None,
+                        help="--task serve: listen on this port instead "
+                             "of reading --frames (POST /count, GET "
+                             "/healthz|/stats — serve_http.py)")
     return parser
 
 
@@ -218,7 +310,7 @@ def main():
     args = build_parser().parse_args()
     run(args.config, args.task, frames=args.frames, batch=args.batch,
         ckpt=args.ckpt, quantize=args.quantize, template=args.template,
-        out=args.out)
+        out=args.out, artifact=args.artifact, http=args.http)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,9 @@ TPU-specific extensions (all optional, defaulted):
     accum_steps:   int                       — gradient accumulation: average
                    grads over k micro-batch steps, one optimizer update
                    (optax.MultiSteps; effective batch k×batch_size)
+    compile_cache: bool | path               — persist XLA compilations
+                   across process restarts (core/cache.py; default
+                   repo-local .xla_cache when `true`)
 """
 
 from __future__ import annotations

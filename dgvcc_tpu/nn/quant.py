@@ -78,6 +78,23 @@ def quantize_weight(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return w8, ws.astype(np.float32)
 
 
+def _cast_sites(sites: Dict, dtype) -> Dict[str, Dict[str, Any]]:
+    """Device-place saved site dicts: int8 weights + f32 scales/biases
+    stay as stored, fp-site kernels (stored f32 in the artifact for
+    msgpack portability) cast back to the serving dtype. Shared by both
+    quantized-graph classes' :meth:`from_sites` (nn/quant_io.py)."""
+    out: Dict[str, Dict[str, Any]] = {}
+    for name, site in sites.items():
+        if "w8" in site:
+            out[name] = {"w8": jnp.asarray(site["w8"], jnp.int8),
+                         "ws": jnp.asarray(site["ws"], jnp.float32),
+                         "bias": jnp.asarray(site["bias"], jnp.float32)}
+        else:
+            out[name] = {"kernel": jnp.asarray(site["kernel"], dtype),
+                         "bias": jnp.asarray(site["bias"], jnp.float32)}
+    return out
+
+
 def fold_variables(variables: Dict) -> Dict[str, Dict[str, np.ndarray]]:
     """Fold every conv(+BN) site of a DG model into {name: kernel, bias}.
 
@@ -178,6 +195,28 @@ class QuantizedDG:
         scales = {k: max(v, 1e-12) / 127.0 for k, v in caps.items()}
         return cls(folded, scales, model, mem, dtype=dtype,
                    fused_mem=fused_mem)
+
+    @classmethod
+    def from_sites(cls, sites: Dict, scales: Dict[str, float], model,
+                   mem: Optional[np.ndarray] = None, dtype=jnp.bfloat16,
+                   fused_mem: Optional[bool] = None) -> "QuantizedDG":
+        """Rebuild from already-quantized sites (a saved int8 artifact,
+        nn/quant_io.py) — no folding, no calibration, no fp forwards."""
+        self = cls.__new__(cls)
+        self.model = model
+        self.dtype = dtype
+        self.use_mem = model.use_mem
+        self.use_cls = model.use_cls
+        self.cls_thrs = model.cls_thrs
+        if fused_mem is None:
+            fused_mem = jax.default_backend() != "cpu"
+        self.fused_mem = fused_mem
+        self.scales = {k: float(v) for k, v in scales.items()}
+        self.qparams = {"sites": _cast_sites(sites, dtype)}
+        if mem is not None:
+            self.qparams["mem"] = jnp.asarray(mem, dtype)
+        self._jitted = jax.jit(self._forward)
+        return self
 
     # -- serving forward --------------------------------------------------
 
@@ -372,6 +411,24 @@ class QuantizedConvNet:
             self.qparams["extras"] = jax.tree.map(
                 lambda a: jnp.asarray(a, jnp.float32), folded["__extras__"])
         self._jitted = jax.jit(self._forward)
+
+    @classmethod
+    def from_sites(cls, sites: Dict, scales: Dict[str, float], forward_fn,
+                   fp_sites=frozenset(), extras=None,
+                   dtype=jnp.bfloat16) -> "QuantizedConvNet":
+        """Rebuild from already-quantized sites (a saved int8 artifact,
+        nn/quant_io.py) — no folding, no calibration, no fp forwards."""
+        self = cls.__new__(cls)
+        self.dtype = dtype
+        self.forward_fn = forward_fn
+        self.fp_sites = frozenset(fp_sites)
+        self.scales = {k: float(v) for k, v in scales.items()}
+        self.qparams = {"sites": _cast_sites(sites, dtype)}
+        if extras is not None:
+            self.qparams["extras"] = jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.float32), extras)
+        self._jitted = jax.jit(self._forward)
+        return self
 
     def _qconv(self, qparams, x, name: str, relu: bool = True,
                padding="SAME", dilation=(1, 1)):

@@ -34,7 +34,7 @@ class VideoCounter:
                  bucket: int = 64, dtype=jnp.bfloat16, quantize: bool = False,
                  calib_frames: Optional[np.ndarray] = None,
                  tile_size: int = 768, tile_threshold: int = 4096,
-                 mesh=None):
+                 mesh=None, quantized=None):
         self.model = model
         self.variables = variables
         self.log_para = log_para
@@ -62,7 +62,13 @@ class VideoCounter:
         self.tile_threshold = tile_threshold
         self.quantized = None
         self._quant_pending = False
-        if quantize:
+        if quantized is not None:
+            # prebuilt int8 graph (a loaded artifact, nn/quant_io.py) —
+            # already folded + calibrated, nothing to do but place it
+            quantize = True
+            self.quantized = quantized
+            self._place_qparams()
+        elif quantize:
             # int8 PTQ serving graph (nn/quant.py): ~1.5x the bf16 fps
             # on v5e. Supports the DG family + the conv(+BN) baselines
             # (csrnet/mcnn/bl/sasnet/dssinet). Activation scales MUST come from
@@ -164,6 +170,10 @@ class VideoCounter:
         self.quantized = build_quantized(
             self.model, self.variables, jnp.asarray(c, jnp.float32),
             dtype=self.dtype)
+        self._place_qparams()
+        self._quant_pending = False
+
+    def _place_qparams(self):
         if self.mesh is not None:
             # replicate the folded int8 weights across the mesh once —
             # otherwise every infer call would reshard them
@@ -171,7 +181,6 @@ class VideoCounter:
 
             self.quantized.qparams = jax.device_put(
                 self.quantized.qparams, NamedSharding(self.mesh, P()))
-        self._quant_pending = False
 
     def _weights(self):
         """The jit argument: fp variables, or qparams once quantized."""
@@ -237,6 +246,22 @@ class VideoCounter:
                    quantize=quantize, calib_frames=calib_frames,
                    tile_size=tile_size, tile_threshold=tile_threshold,
                    mesh=mesh)
+
+    @classmethod
+    def from_artifact(cls, path: str, log_para: float = 1000.0,
+                      dtype=None, tile_size: int = 768,
+                      tile_threshold: int = 4096, mesh=None):
+        """Serve from a saved int8 artifact (nn/quant_io.py): no
+        checkpoint, no calibration frames, no fp forward at startup —
+        the deploy path for replicas. ``dtype`` overrides the stored
+        serving dtype (e.g. float32 on CPU)."""
+        from dgvcc_tpu.nn.quant_io import load_quantized
+
+        art = load_quantized(path, dtype=dtype)
+        return cls(art.model, None, log_para=log_para,
+                   dtype=art.quantized.dtype, tile_size=tile_size,
+                   tile_threshold=tile_threshold, mesh=mesh,
+                   quantized=art.quantized)
 
     def _pad(self, frames: np.ndarray):
         b, h, w, c = frames.shape

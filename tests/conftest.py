@@ -81,6 +81,11 @@ HEAVY = (
     "test_serve_pipeline.py::test_cli_serve_task",
     "test_serve_pipeline.py::test_video_counter_quantized_tracks_fp",
     "test_serve_mesh.py::test_sharded_quantized_counts_match_single_device",
+    # int8 artifact round-trips on the full DG / dssinet graphs
+    "test_quant_io.py::test_dg_artifact_roundtrip",
+    "test_quant_io.py::test_convnet_artifact_roundtrip[dssinet",
+    "test_quant_io.py::test_video_counter_from_artifact",
+    "test_quant_io.py::test_cli_quantize_then_serve_artifact",
     "test_quant.py::test_int8_counts_track_fp",
     "test_whitening.py::test_isw_protocol",
     "test_backbone_variants.py::test_densenet_counters_run",
