@@ -431,20 +431,23 @@ class QuantizedConvNet:
         return self
 
     def _qconv(self, qparams, x, name: str, relu: bool = True,
-               padding="SAME", dilation=(1, 1)):
+               padding="SAME", dilation=(1, 1), strides=(1, 1), groups=1):
         """``x`` may be a list/tuple of concat parts: for int8 sites each
         part quantizes BEFORE the channel concat (a per-tensor scale
         commutes with concatenation — bit-identical xq) so the wide
         higher-precision concat never materializes; fp sites just
-        concat."""
+        concat. Dense layers on NHWC tensors are (1,1) convs through the
+        same primitive (quant_cctrans.py); ``strides``/``groups`` cover
+        patch embeddings and depthwise PEG convs."""
         site = qparams["sites"][name]
         parts = x if isinstance(x, (list, tuple)) else None
         if "w8" not in site:  # fp site
             if parts is not None:
                 x = jnp.concatenate(parts, axis=-1)
             y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), site["kernel"], (1, 1), padding,
-                rhs_dilation=dilation, dimension_numbers=_DN)
+                x.astype(self.dtype), site["kernel"], strides, padding,
+                rhs_dilation=dilation, dimension_numbers=_DN,
+                feature_group_count=groups)
             y = y + site["bias"].astype(self.dtype)
             return jax.nn.relu(y) if relu else y
         s = self.scales[name]
@@ -456,8 +459,9 @@ class QuantizedConvNet:
         xq = (jnp.concatenate([q8(p) for p in parts], axis=-1)
               if parts is not None else q8(x))
         yi = jax.lax.conv_general_dilated(
-            xq, site["w8"], (1, 1), padding, rhs_dilation=dilation,
-            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+            xq, site["w8"], strides, padding, rhs_dilation=dilation,
+            dimension_numbers=_DN, feature_group_count=groups,
+            preferred_element_type=jnp.int32)
         y = yi.astype(jnp.float32) * (site["ws"] * s) + site["bias"]
         if relu:
             y = jax.nn.relu(y)
@@ -488,15 +492,13 @@ def calibrate_graph(folded: Dict, forward_fn, fp_sites,
     def run(frames):
         caps: Dict[str, Any] = {}
 
-        def capturing(qp, x, name, relu=True, padding="SAME",
-                      dilation=(1, 1)):
+        def capturing(qp, x, name, relu=True, **kw):
             if name not in q.fp_sites:
                 ps = x if isinstance(x, (list, tuple)) else (x,)
                 m = jnp.max(jnp.asarray(
                     [jnp.max(jnp.abs(p.astype(jnp.float32))) for p in ps]))
                 caps[name] = jnp.maximum(caps[name], m) if name in caps else m
-            return orig(qp, x, name, relu=relu, padding=padding,
-                        dilation=dilation)
+            return orig(qp, x, name, relu=relu, **kw)
 
         q._qconv = capturing
         try:
@@ -871,17 +873,32 @@ def _family_spec(model):
         fp = frozenset({f"decoder{k}/c2" for k in range(1, 6)}
                        | {f"pw{k}" for k in range(1, 5)})
         return dssinet_fold, dssinet_forward, fp
+    from dgvcc_tpu.models.baselines.cctrans import ALTGVT
+
+    if isinstance(model, ALTGVT):
+        from dgvcc_tpu.nn.quant_cctrans import cctrans_fold, cctrans_forward
+
+        depths = tuple(model.depths)
+        heads = tuple(model.num_heads)
+        wss = tuple(model.wss)
+        srs = tuple(model.sr_ratios)
+        return (lambda v: cctrans_fold(v, model),
+                lambda qc, x, ex: cctrans_forward(
+                    qc, x, ex, depths=depths, heads=heads, wss=wss,
+                    sr_ratios=srs),
+                frozenset({"reg_res2"}))
     return None
 
 
 def build_quantized(model, variables, calib_frames, dtype=jnp.bfloat16,
                     fused_mem: Optional[bool] = None, min_ch: int = 128):
     """Quantize any supported model for serving: DG family →
-    :class:`QuantizedDG`; CSRNet / MCNN / BL-VGG / SASNet / DSSINet →
-    :class:`QuantizedConvNet`. Raises a clear error otherwise (the
-    whitening counters compute instance statistics at eval and are not
-    foldable — see ARCHITECTURE.md; CCTrans is attention-dominated and
-    needs a different recipe).
+    :class:`QuantizedDG`; CSRNet / MCNN / BL-VGG / SASNet / DSSINet /
+    CCTrans → :class:`QuantizedConvNet` (CCTrans' Dense layers lower to
+    1x1 int8 convs, attention/LayerNorm glue stays fp —
+    quant_cctrans.py). Raises a clear error otherwise (the whitening
+    counters compute instance statistics at eval and are not foldable —
+    see ARCHITECTURE.md).
 
     ``min_ch``: sites with fewer than this many input AND output
     channels stay bf16. Low-channel convs don't saturate the int8 MXU

@@ -45,6 +45,16 @@ def _np_sites(qsites: Dict) -> Dict[str, Dict[str, np.ndarray]]:
     return out
 
 
+def _plain(v):
+    """msgpack-safe model params: flax serializes with strict_types, so
+    tuples (e.g. cctrans embed_dims) must become lists up front."""
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    return v
+
+
 def save_quantized(q, path: str, model_name: str,
                    model_params: Optional[Dict[str, Any]] = None) -> None:
     """Write a QuantizedDG / QuantizedConvNet as a deployable artifact.
@@ -61,7 +71,7 @@ def save_quantized(q, path: str, model_name: str,
     doc: Dict[str, Any] = {
         "format": ARTIFACT_FORMAT,
         "model_name": model_name,
-        "model_params": dict(model_params or {}),
+        "model_params": _plain(dict(model_params or {})),
         "dtype": np.dtype(q.dtype).name,
         "scales": dict(q.scales),
         "sites": _np_sites(q.qparams["sites"]),

@@ -75,18 +75,20 @@ class VideoCounter:
             # real imagery — with calib_frames they're calibrated now,
             # otherwise calibration happens lazily on the first batch.
             from dgvcc_tpu.models.baselines.bl_vgg import BLVGG
+            from dgvcc_tpu.models.baselines.cctrans import ALTGVT
             from dgvcc_tpu.models.baselines.csrnet import CSRNet
+            from dgvcc_tpu.models.baselines.dssinet import DSSINet
             from dgvcc_tpu.models.baselines.mcnn import MCNN
             from dgvcc_tpu.models.baselines.sasnet import SASNet
             from dgvcc_tpu.models.dg import DGModel
 
             if not isinstance(model, (DGModel, CSRNet, MCNN, BLVGG,
-                                      SASNet)):
+                                      SASNet, ALTGVT, DSSINet)):
                 raise ValueError(
                     "quantize=True supports the DG family "
                     "(base/mem/memadd/cls/memcls/final) and the "
-                    "csrnet/mcnn/bl/sasnet/dssinet baselines; got "
-                    f"{type(model).__name__}")
+                    "csrnet/mcnn/bl/sasnet/dssinet/cctrans baselines; "
+                    f"got {type(model).__name__}")
             if calib_frames is None:
                 self._quant_pending = True
             else:

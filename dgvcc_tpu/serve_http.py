@@ -9,13 +9,15 @@ checkpoint or calibration imagery.
 
 Routes:
     GET  /healthz  → {"status": "ok", "model": ..., "quantized": ...}
-    GET  /stats    → {"frames": N, "requests": N, "fps": ...}
+    GET  /stats    → {"frames": N, "requests": N, "batches": N, "fps": ...}
     POST /count    → {"count": float}   (body: JPEG/PNG image bytes)
 
-Inference is serialized behind a lock: the TPU executes one program at
-a time anyway, and VideoCounter's lazy int8 calibration isn't
-concurrent-safe. Threading still helps — decode/encode of request t+1
-overlaps device compute of request t.
+Concurrency model: request threads only decode/encode; a single
+dispatcher thread owns the device. Same-shape frames that arrive
+within ``batch_window`` (seconds) are stacked into ONE device batch of
+up to ``max_batch`` — a TPU at serving sizes is batch-limited, not
+request-limited, so micro-batching multiplies concurrent-client
+throughput while a lone client pays at most one window of latency.
 """
 
 from __future__ import annotations
@@ -24,20 +26,41 @@ import io
 import json
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class _Pending:
+    __slots__ = ("frame", "event", "result", "error")
+
+    def __init__(self, frame):
+        self.frame = frame
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
 
 
 class CountingServer:
     """Owns the HTTP server; `serve_forever` blocks, `start` threads."""
 
     def __init__(self, counter, host: str = "127.0.0.1", port: int = 8000,
-                 model_name: str = "?"):
+                 model_name: str = "?", max_batch: int = 8,
+                 batch_window: float = 0.005):
         self.counter = counter
         self.model_name = model_name
-        self._lock = threading.Lock()
-        self._stats = {"frames": 0, "requests": 0, "device_s": 0.0}
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window = batch_window
+        self._stats = {"frames": 0, "requests": 0, "batches": 0,
+                       "device_s": 0.0}
+        self._work: deque = deque()
+        self._cv = threading.Condition()
+        self._stopping = False
+        self._serving = False
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._dispatcher.start()
         self.httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.httpd.daemon_threads = True
 
@@ -45,17 +68,76 @@ class CountingServer:
     def port(self) -> int:  # resolved port (0 → ephemeral)
         return self.httpd.server_address[1]
 
+    # -- device side -------------------------------------------------------
+
+    def _submit(self, frame: np.ndarray, timeout: float = 300.0) -> float:
+        """Queue one (H, W, 3) uint8 frame; block until its count."""
+        p = _Pending(frame)
+        with self._cv:
+            self._work.append(p)
+            self._cv.notify()
+        if not p.event.wait(timeout):
+            raise TimeoutError("inference queue timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _take_batch(self):
+        """Pop the oldest request plus same-shape followers, waiting up
+        to batch_window for more to arrive (single consumer)."""
+        with self._cv:
+            while not self._work:
+                if self._stopping:
+                    return []
+                self._cv.wait(timeout=0.1)
+            batch = [self._work.popleft()]
+        deadline = time.monotonic() + self.batch_window
+        shape = batch[0].frame.shape
+        while len(batch) < self.max_batch:
+            with self._cv:
+                # scan for same-shape requests; mixed shapes stay queued
+                # for their own batch (each shape is its own program)
+                i = next((j for j, p in enumerate(self._work)
+                          if p.frame.shape == shape), None)
+                if i is not None:
+                    self._work.rotate(-i)
+                    batch.append(self._work.popleft())
+                    self._work.rotate(i)
+                    continue
+            rem = deadline - time.monotonic()
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 0.001))
+        return batch
+
+    def _dispatch_loop(self):
+        while not self._stopping:
+            batch = self._take_batch()
+            if not batch:
+                continue
+            try:
+                frames = np.stack([p.frame for p in batch])
+                t0 = time.perf_counter()
+                counts = self.counter.count_frames(frames)
+                self._stats["device_s"] += time.perf_counter() - t0
+                self._stats["frames"] += len(batch)
+                self._stats["batches"] += 1
+                for p, c in zip(batch, counts):
+                    p.result = float(c)
+            except Exception as e:  # surface to every waiting request
+                for p in batch:
+                    p.error = e
+            finally:
+                for p in batch:
+                    p.event.set()
+
     def _count_image(self, body: bytes) -> float:
         from PIL import Image
 
         img = Image.open(io.BytesIO(body)).convert("RGB")
-        frame = np.asarray(img, np.uint8)[None]
-        with self._lock:
-            t0 = time.perf_counter()
-            count = float(self.counter.count_frames(frame)[0])
-            self._stats["device_s"] += time.perf_counter() - t0
-            self._stats["frames"] += 1
-        return count
+        return self._submit(np.asarray(img, np.uint8))
+
+    # -- http side ----------------------------------------------------------
 
     def _handler_class(self):
         server = self
@@ -108,6 +190,7 @@ class CountingServer:
 
     def start(self) -> threading.Thread:
         """Serve on a daemon thread (tests, embedding); returns it."""
+        self._serving = True
         t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         t.start()
         return t
@@ -115,11 +198,18 @@ class CountingServer:
     def serve_forever(self):
         print(f"[serve] http on :{self.port} "
               f"(POST /count, GET /healthz, GET /stats)")
+        self._serving = True
         try:
             self.httpd.serve_forever()
         except KeyboardInterrupt:
             pass
 
     def shutdown(self):
-        self.httpd.shutdown()
+        self._stopping = True
+        with self._cv:
+            self._cv.notify_all()
+        if self._serving:
+            # socketserver.shutdown() blocks on the serve_forever loop;
+            # calling it with no loop running would wait forever
+            self.httpd.shutdown()
         self.httpd.server_close()

@@ -84,6 +84,7 @@ HEAVY = (
     # int8 artifact round-trips on the full DG / dssinet graphs
     "test_quant_io.py::test_dg_artifact_roundtrip",
     "test_quant_io.py::test_convnet_artifact_roundtrip[dssinet",
+    "test_quant_io.py::test_convnet_artifact_roundtrip[cctrans",
     "test_quant_io.py::test_video_counter_from_artifact",
     "test_quant_io.py::test_cli_quantize_then_serve_artifact",
     "test_quant.py::test_int8_counts_track_fp",

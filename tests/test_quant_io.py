@@ -42,10 +42,18 @@ def test_dg_artifact_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
 
 
-@pytest.mark.parametrize("name,has_extras", [("csrnet", False),
-                                             ("dssinet", True)])
-def test_convnet_artifact_roundtrip(tmp_path, name, has_extras):
-    model = MODELS.build(name)
+CCTRANS_SMALL = {
+    "embed_dims": (32, 64, 128, 256), "num_heads": (2, 4, 8, 16),
+    "depths": (1, 1, 2, 2), "wss": (4, 4, 4, 4), "sr_ratios": (8, 4, 2, 1),
+}
+
+
+@pytest.mark.parametrize("name,kw,has_extras",
+                         [("csrnet", {}, False),
+                          ("dssinet", {}, True),
+                          ("cctrans", CCTRANS_SMALL, True)])
+def test_convnet_artifact_roundtrip(tmp_path, name, kw, has_extras):
+    model = MODELS.build(name, **kw)
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
     variables = _init_vars(model, x, dropout=False)
@@ -54,7 +62,7 @@ def test_convnet_artifact_roundtrip(tmp_path, name, has_extras):
     assert any("w8" in s for s in q.qparams["sites"].values())
     assert ("extras" in q.qparams) == has_extras
     path = str(tmp_path / f"{name}.i8")
-    save_quantized(q, path, name)
+    save_quantized(q, path, name, kw)
 
     art = load_quantized(path)
     assert art.doc["family"] == "convnet"

@@ -64,3 +64,79 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/nope")
     assert e.value.code == 404
+
+
+class _StubCounter:
+    """Records dispatch batch sizes; count = frame mean (per-request
+    distinguishable so batching can't cross wires)."""
+
+    quantized = None
+
+    def __init__(self):
+        self.batch_sizes = []
+
+    def count_frames(self, frames):
+        self.batch_sizes.append(len(frames))
+        return frames.reshape(len(frames), -1).mean(axis=1)
+
+
+def test_microbatching_groups_same_shape_requests():
+    import threading
+
+    from dgvcc_tpu.serve_http import CountingServer
+
+    stub = _StubCounter()
+    srv = CountingServer(stub, port=0, max_batch=8, batch_window=0.25)
+    try:
+        rng = np.random.default_rng(2)
+        frames = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                  for _ in range(6)]
+        results = [None] * 6
+
+        def post(i):
+            results[i] = srv._submit(frames[i])
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(6):
+            np.testing.assert_allclose(results[i], frames[i].mean(),
+                                       rtol=1e-6)
+        # 6 concurrent same-shape requests inside a 250 ms window must
+        # coalesce into fewer device dispatches
+        assert len(stub.batch_sizes) < 6
+        assert sum(stub.batch_sizes) == 6
+    finally:
+        srv.shutdown()
+
+
+def test_microbatching_mixed_shapes_stay_separate():
+    import threading
+
+    from dgvcc_tpu.serve_http import CountingServer
+
+    stub = _StubCounter()
+    srv = CountingServer(stub, port=0, max_batch=8, batch_window=0.2)
+    try:
+        rng = np.random.default_rng(3)
+        small = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        big = rng.integers(0, 256, (48, 32, 3), dtype=np.uint8)
+        out = {}
+
+        def post(key, f):
+            out[key] = srv._submit(f)
+
+        threads = [threading.Thread(target=post, args=(k, f))
+                   for k, f in (("s", small), ("b", big))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        np.testing.assert_allclose(out["s"], small.mean(), rtol=1e-6)
+        np.testing.assert_allclose(out["b"], big.mean(), rtol=1e-6)
+        assert sorted(stub.batch_sizes) == [1, 1]  # never stacked together
+    finally:
+        srv.shutdown()
