@@ -21,6 +21,10 @@ TPU-specific extensions (all optional, defaulted):
     compile_cache: bool | path               — persist XLA compilations
                    across process restarts (core/cache.py; default
                    repo-local .xla_cache when `true`)
+    async_save:    bool                      — defer checkpoint readback +
+                   disk writes to a background thread (snapshot-on-device
+                   keeps them exact under buffer donation; flushed at
+                   train/test end and on preemption)
 """
 
 from __future__ import annotations

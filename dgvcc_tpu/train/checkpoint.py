@@ -36,14 +36,94 @@ def _to_state_dict(state, extra: Optional[Dict] = None) -> Dict[str, Any]:
     return d
 
 
-def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
-    payload = serialization.msgpack_serialize(
-        jax.tree.map(np.asarray, _to_state_dict(state, extra))
-    )
+def _write_payload(path: str, sd: Dict[str, Any]) -> None:
+    payload = serialization.msgpack_serialize(jax.tree.map(np.asarray, sd))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
+    _write_payload(path, _to_state_dict(state, extra))
+
+
+# -- async writing -----------------------------------------------------------
+
+# One jitted copy for ALL pytrees (jit caches per input structure): a
+# single dispatch that returns FRESH device buffers. Required before a
+# deferred save — the train step donates the current state's buffers
+# (donate_argnums), so by the time a background thread reads them back
+# they'd be invalidated; copies are untouched by donation.
+_COPY = None
+
+
+def snapshot_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Copy every jax.Array leaf to a fresh device buffer (one jitted
+    dispatch); non-array leaves (python scalars, strings in ``extra``)
+    pass through untouched."""
+    global _COPY
+    if _COPY is None:
+        import jax.numpy as jnp
+
+        _COPY = jax.jit(lambda leaves: [jnp.copy(a) for a in leaves])
+    leaves, treedef = jax.tree.flatten(sd)
+    idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+    if idx:
+        copied = _COPY([leaves[i] for i in idx])
+        for i, c in zip(idx, copied):
+            leaves[i] = c
+    return jax.tree.unflatten(treedef, leaves)
+
+
+class AsyncWriter:
+    """Single background checkpoint writer.
+
+    Jobs (rotation + device→host readback + msgpack + atomic write) run
+    in submission order on one daemon thread, so the epoch loop only
+    pays for the on-device snapshot (one dispatch) instead of the full
+    readback + disk write. ``flush()`` blocks until the queue drains and
+    re-raises the first failure — call it before process exit and before
+    reading back a file this writer may still be writing.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                self._q.task_done()
+                return
+            try:
+                job()
+            except BaseException as e:  # surfaced at flush/submit
+                self._err = self._err or e
+            finally:
+                self._q.task_done()
+
+    def submit(self, job) -> None:
+        if self._err is not None:
+            self.flush()  # raises
+        self._q.put(job)
+
+    def flush(self) -> None:
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def close(self) -> None:
+        self.flush()
+        self._q.put(None)
+        self._t.join()
 
 
 def _merge_nonstrict(target, loaded, path="", warnings=None):
@@ -99,41 +179,61 @@ class CheckpointRotator:
     """Implements the reference's rolling last/best files
     (trainer.py:106-115) under a log dir."""
 
-    def __init__(self, log_dir: str, suffix: str = ".ckpt"):
+    def __init__(self, log_dir: str, suffix: str = ".ckpt",
+                 writer: Optional[AsyncWriter] = None):
         self.log_dir = log_dir
         self.suffix = suffix
+        self.writer = writer  # None → synchronous saves (the default)
+
+    def _purge(self, pattern: str):
+        for old in glob(os.path.join(self.log_dir, pattern + self.suffix)):
+            os.remove(old)
+
+    def _save(self, fname: str, state, extra, purge: Optional[str] = None):
+        """One save, optionally preceded by a rotation purge. Sync mode
+        writes inline; async mode snapshots the device state NOW (one
+        jitted copy — immune to the next step's buffer donation) and
+        defers purge+readback+write to the writer thread, in order."""
+        path = os.path.join(self.log_dir, fname + self.suffix)
+        if self.writer is None:
+            if purge:
+                self._purge(purge)
+            save_checkpoint(path, state, extra)
+            return
+        sd = snapshot_state_dict(_to_state_dict(state, extra))
+
+        def job():
+            if purge:
+                self._purge(purge)
+            _write_payload(path, sd)
+
+        self.writer.submit(job)
+
+    def flush(self):
+        """Block until every deferred save has hit disk (no-op sync)."""
+        if self.writer is not None:
+            self.writer.flush()
 
     def save_last(self, state, extra=None):
-        for old in glob(os.path.join(self.log_dir, "last*" + self.suffix)):
-            os.remove(old)
-        save_checkpoint(os.path.join(self.log_dir, "last" + self.suffix), state, extra)
+        self._save("last", state, extra, purge="last*")
 
     def save_best(self, state, epoch: int, criterion: float, extra=None):
-        for old in glob(os.path.join(self.log_dir, "best*" + self.suffix)):
-            os.remove(old)
-        path = os.path.join(self.log_dir, f"best_{epoch}_{criterion:.4f}" + self.suffix)
-        save_checkpoint(path, state, extra)
+        self._save(f"best_{epoch}_{criterion:.4f}", state, extra,
+                   purge="best*")
 
     def save_test(self, state, mae: float, extra=None):
-        path = os.path.join(self.log_dir, f"test_{mae}" + self.suffix)
-        save_checkpoint(path, state, extra)
+        self._save(f"test_{mae}", state, extra)
 
     def save_last_pair(self, gen_state, reg_state, extra=None):
         """Rolling last for (gen, reg) pairs — *_gen/*_reg naming parity
         with the reference (dgtrainer.py:43-48)."""
-        for old in glob(os.path.join(self.log_dir, "last*" + self.suffix)):
-            os.remove(old)
-        save_checkpoint(os.path.join(self.log_dir, "last_gen" + self.suffix),
-                        gen_state, extra)
-        save_checkpoint(os.path.join(self.log_dir, "last_reg" + self.suffix),
-                        reg_state, extra)
+        self._save("last_gen", gen_state, extra, purge="last*")
+        self._save("last_reg", reg_state, extra)
 
     def save_best_pair(self, gen_state, reg_state, epoch, criterion, extra=None):
-        for old in glob(os.path.join(self.log_dir, "best*" + self.suffix)):
-            os.remove(old)
-        stem = os.path.join(self.log_dir, f"best_{epoch}_{criterion:.4f}")
-        save_checkpoint(stem + "_gen" + self.suffix, gen_state, extra)
-        save_checkpoint(stem + "_reg" + self.suffix, reg_state, extra)
+        stem = f"best_{epoch}_{criterion:.4f}"
+        self._save(stem + "_gen", gen_state, extra, purge="best*")
+        self._save(stem + "_reg", reg_state, extra)
 
     def latest(self) -> Optional[str]:
         cands = glob(os.path.join(self.log_dir, "last" + self.suffix))

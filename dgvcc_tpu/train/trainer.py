@@ -32,7 +32,8 @@ from dgvcc_tpu.core.logging import RunLogger
 from dgvcc_tpu.core.registry import DATASETS, LOSSES, MODELS
 from dgvcc_tpu.data.loader import build_loader
 from dgvcc_tpu.ops.tiling import TiledCounter
-from dgvcc_tpu.train.checkpoint import CheckpointRotator, load_checkpoint
+from dgvcc_tpu.train.checkpoint import (AsyncWriter, CheckpointRotator,
+                                        load_checkpoint)
 from dgvcc_tpu.train.optim import build_optimizer, build_scheduler
 from dgvcc_tpu.train.state import create_train_state
 from dgvcc_tpu.train.steps import build_train_step, jit_train_step
@@ -55,7 +56,13 @@ class DGTrainer:
         seed_everything(cfg.seed)
         self.log_dir = os.path.join(cfg.log_dir, cfg.version)
         self.logger = RunLogger(self.log_dir)
-        self.rotator = CheckpointRotator(self.log_dir)
+        # `async_save: true` defers checkpoint readback + disk writes to
+        # a background thread (the epoch loop pays one on-device buffer
+        # copy instead); flushed at train/test end and on preemption
+        self.ckpt_writer = (AsyncWriter()
+                            if cfg.extra.get("async_save") else None)
+        self.rotator = CheckpointRotator(self.log_dir,
+                                         writer=self.ckpt_writer)
         self.mode = cfg.mode
         self.log_para = float(cfg.log_para)
         self.patch_size = cfg.patch_size
@@ -699,6 +706,7 @@ class DGTrainer:
                     self.log(f"Preemption: stopped after epoch {epoch}; "
                              "resume from last.ckpt")
                     break
+        self.rotator.flush()  # deferred saves must hit disk before exit
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")
         self.log(f"End training at {get_current_datetime()}")
@@ -811,6 +819,7 @@ class DGTrainer:
         if test_mae < threshold:
             self.log("Saving test model...")
             self.rotator.save_test(self.state, test_mae)
+            self.rotator.flush()
         self.log(f"Testing results saved to {self.log_dir}")
         self.log(f"End testing at {get_current_datetime()}")
         return meter.avg

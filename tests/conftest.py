@@ -87,6 +87,7 @@ HEAVY = (
     "test_quant_io.py::test_convnet_artifact_roundtrip[cctrans",
     "test_quant_io.py::test_video_counter_from_artifact",
     "test_quant_io.py::test_cli_quantize_then_serve_artifact",
+    "test_async_ckpt.py::test_trainer_async_save_end_to_end",
     "test_quant.py::test_int8_counts_track_fp",
     "test_whitening.py::test_isw_protocol",
     "test_backbone_variants.py::test_densenet_counters_run",
