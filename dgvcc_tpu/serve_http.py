@@ -10,6 +10,8 @@ checkpoint or calibration imagery.
 Routes:
     GET  /healthz  → {"status": "ok", "model": ..., "quantized": ...}
     GET  /stats    → {"frames": N, "requests": N, "batches": N, "fps": ...}
+    GET  /metrics  → the same counters in Prometheus text exposition
+                     format (scrapeable; no dependencies)
     POST /count    → {"count": float}   (body: JPEG/PNG image bytes)
 
 Concurrency model: request threads only decode/encode; a single
@@ -166,6 +168,25 @@ class CountingServer:
                     s["fps"] = (s["frames"] / s["device_s"]
                                 if s["device_s"] > 0 else 0.0)
                     self._json(200, s)
+                elif self.path == "/metrics":
+                    s = dict(server._stats)
+                    lines = []
+                    for name, kind, val in (
+                            ("dgvcc_frames_total", "counter", s["frames"]),
+                            ("dgvcc_requests_total", "counter",
+                             s["requests"]),
+                            ("dgvcc_batches_total", "counter",
+                             s["batches"]),
+                            ("dgvcc_device_seconds_total", "counter",
+                             s["device_s"])):
+                        lines += [f"# TYPE {name} {kind}", f"{name} {val}"]
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
 

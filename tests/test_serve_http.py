@@ -56,6 +56,15 @@ def test_count_matches_direct(server):
     stats = _get(server, "/stats")
     assert stats["frames"] >= 1 and stats["fps"] > 0
 
+    # prometheus exposition mirrors the same counters
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert "# TYPE dgvcc_frames_total counter" in text
+    assert f"dgvcc_frames_total {stats['frames']}" in text
+    assert "dgvcc_device_seconds_total" in text
+
 
 def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
