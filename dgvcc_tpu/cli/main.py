@@ -18,16 +18,21 @@ import os
 import shutil
 
 
-def _load_calib(frames_dir: str, n: int = 4):
-    """First few frames of a directory, resized for scale calibration."""
-    import numpy as np
-    from PIL import Image
-
+def _list_images(frames_dir: str):
     exts = (".jpg", ".jpeg", ".png", ".bmp")
     names = sorted(fn for fn in os.listdir(frames_dir)
                    if fn.lower().endswith(exts))
     if not names:
         raise SystemExit(f"no images under {frames_dir}")
+    return names
+
+
+def _load_calib(frames_dir: str, n: int = 4):
+    """First few frames of a directory, resized for scale calibration."""
+    import numpy as np
+    from PIL import Image
+
+    names = _list_images(frames_dir)
     return np.stack([
         np.asarray(Image.open(os.path.join(frames_dir, fn))
                    .convert("RGB").resize((256, 256)), np.uint8)
@@ -98,15 +103,19 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
 
 
 def _serve_http(cfg, port: int, quantize: bool = False,
-                artifact: str = None, frames_dir: str = None):
+                artifact: str = None, frames_dir: str = None,
+                batch: int = 4):
     """`--task serve --http PORT`: network serving (serve_http.py) —
-    POST /count with image bytes returns {"count": N}."""
+    POST /count with image bytes returns {"count": N}. ``--batch``
+    bounds the request micro-batch (and the calibration frame count),
+    matching its directory-mode meaning."""
     from dgvcc_tpu.serve_http import CountingServer
 
     counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
-                             frames_dir=frames_dir)
+                             frames_dir=frames_dir, batch=batch)
     CountingServer(counter, host="0.0.0.0", port=port,
-                   model_name=cfg.model["name"]).serve_forever()
+                   model_name=cfg.model["name"],
+                   max_batch=batch).serve_forever()
 
 
 def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False,
@@ -123,12 +132,7 @@ def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False,
     import numpy as np
     from PIL import Image
 
-    exts = (".jpg", ".jpeg", ".png", ".bmp")
-    names = sorted(n for n in os.listdir(frames_dir)
-                   if n.lower().endswith(exts))
-    if not names:
-        raise SystemExit(f"no images under {frames_dir}")
-
+    names = _list_images(frames_dir)
     counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
                              frames_dir=frames_dir, batch=batch)
 
@@ -260,7 +264,7 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4,
     elif task == "serve":
         if http is not None:
             _serve_http(cfg, http, quantize=quantize, artifact=artifact,
-                        frames_dir=frames)
+                        frames_dir=frames, batch=batch)
         else:
             if frames is None:
                 raise SystemExit(
@@ -283,7 +287,8 @@ def build_parser():
     parser.add_argument("--frames", type=str, default=None,
                         help="image directory for --task serve")
     parser.add_argument("--batch", type=int, default=4,
-                        help="serving batch size for --task serve")
+                        help="serving batch size for --task serve "
+                             "(HTTP mode: max request micro-batch)")
     parser.add_argument("--ckpt", type=str, default=None,
                         help="override the config's checkpoint: key")
     parser.add_argument("--quantize", action="store_true",

@@ -56,6 +56,7 @@ class CountingServer:
         self.batch_window = batch_window
         self._stats = {"frames": 0, "requests": 0, "batches": 0,
                        "device_s": 0.0}
+        self._stats_lock = threading.Lock()
         self._work: deque = deque()
         self._cv = threading.Condition()
         self._stopping = False
@@ -76,6 +77,8 @@ class CountingServer:
         """Queue one (H, W, 3) uint8 frame; block until its count."""
         p = _Pending(frame)
         with self._cv:
+            if self._stopping:
+                raise RuntimeError("server shutting down")
             self._work.append(p)
             self._cv.notify()
         if not p.event.wait(timeout):
@@ -121,9 +124,11 @@ class CountingServer:
                 frames = np.stack([p.frame for p in batch])
                 t0 = time.perf_counter()
                 counts = self.counter.count_frames(frames)
-                self._stats["device_s"] += time.perf_counter() - t0
-                self._stats["frames"] += len(batch)
-                self._stats["batches"] += 1
+                dt = time.perf_counter() - t0
+                with self._stats_lock:
+                    self._stats["device_s"] += dt
+                    self._stats["frames"] += len(batch)
+                    self._stats["batches"] += 1
                 for p, c in zip(batch, counts):
                     p.result = float(c)
             except Exception as e:  # surface to every waiting request
@@ -132,6 +137,13 @@ class CountingServer:
             finally:
                 for p in batch:
                     p.event.set()
+        # shutdown: fail fast for anything queued behind the last batch
+        # instead of leaving its handler thread waiting out the timeout
+        with self._cv:
+            stranded, self._work = list(self._work), deque()
+        for p in stranded:
+            p.error = RuntimeError("server shutting down")
+            p.event.set()
 
     def _count_image(self, body: bytes) -> float:
         from PIL import Image
@@ -157,7 +169,8 @@ class CountingServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                server._stats["requests"] += 1
+                with server._stats_lock:
+                    server._stats["requests"] += 1
                 if self.path == "/healthz":
                     q = server.counter.quantized is not None
                     self._json(200, {"status": "ok",
@@ -191,7 +204,8 @@ class CountingServer:
                     self._json(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                server._stats["requests"] += 1
+                with server._stats_lock:
+                    server._stats["requests"] += 1
                 if self.path != "/count":
                     self._json(404, {"error": f"no route {self.path}"})
                     return

@@ -88,6 +88,7 @@ class AsyncWriter:
     """
 
     def __init__(self):
+        import atexit
         import queue
         import threading
 
@@ -95,6 +96,10 @@ class AsyncWriter:
         self._err: Optional[BaseException] = None
         self._t = threading.Thread(target=self._loop, daemon=True)
         self._t.start()
+        # belt-and-suspenders: the writer is a daemon thread, so an
+        # unwinding process would otherwise kill it mid-queue; atexit
+        # runs before daemon threads are reaped
+        atexit.register(self.flush)
 
     def _loop(self):
         while True:

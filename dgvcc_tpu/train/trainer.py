@@ -698,15 +698,21 @@ class DGTrainer:
         self.log(f"Start training at {get_current_datetime()}")
         self.load_ckpt(checkpoint if checkpoint is not None else self.cfg.checkpoint)
         start_epoch, best_criterion, best_epoch = self._resume_point()
-        with self._graceful_shutdown(lambda: (best_criterion, best_epoch)):
-            for epoch in range(start_epoch, num_epochs or self.cfg.num_epochs):
-                best_criterion, best_epoch = self.train_epoch(
-                    epoch, best_criterion, best_epoch)
-                if self._preempted:
-                    self.log(f"Preemption: stopped after epoch {epoch}; "
-                             "resume from last.ckpt")
-                    break
-        self.rotator.flush()  # deferred saves must hit disk before exit
+        try:
+            with self._graceful_shutdown(lambda: (best_criterion, best_epoch)):
+                for epoch in range(start_epoch,
+                                   num_epochs or self.cfg.num_epochs):
+                    best_criterion, best_epoch = self.train_epoch(
+                        epoch, best_criterion, best_epoch)
+                    if self._preempted:
+                        self.log(f"Preemption: stopped after epoch {epoch}; "
+                                 "resume from last.ckpt")
+                        break
+        finally:
+            # deferred saves must hit disk even when the epoch loop
+            # raises (NaN guard, loader error) — otherwise async_save
+            # would drop the very checkpoint a crash-resume needs
+            self.rotator.flush()
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")
         self.log(f"End training at {get_current_datetime()}")
