@@ -231,13 +231,28 @@ class CountingServer:
         return t
 
     def serve_forever(self):
+        """Blocking serve; SIGTERM/SIGINT shut down cleanly (in-flight
+        batches finish, queued requests get fail-fast errors)."""
+        import signal
+
         print(f"[serve] http on :{self.port} "
               f"(POST /count, GET /healthz, GET /stats)")
         self._serving = True
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(
+                    sig, lambda *_: threading.Thread(
+                        target=self.shutdown, daemon=True).start())
+            except ValueError:  # non-main thread: no handler possible
+                pass
         try:
             self.httpd.serve_forever()
         except KeyboardInterrupt:
             pass
+        finally:
+            for sig, h in prev.items():
+                signal.signal(sig, h)
 
     def shutdown(self):
         self._stopping = True

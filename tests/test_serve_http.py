@@ -149,3 +149,28 @@ def test_microbatching_mixed_shapes_stay_separate():
         assert sorted(stub.batch_sizes) == [1, 1]  # never stacked together
     finally:
         srv.shutdown()
+
+
+def test_stress_tool_reports_batching(tmp_path):
+    """scripts/stress_http.py end-to-end: drives a live server with
+    concurrent clients and reports throughput + mean batch size."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "scripts/stress_http.py", "--model", "base",
+         "--clients", "4", "--requests", "8", "--hw", "64", "64",
+         "--window-ms", "100"],
+        capture_output=True, text=True, timeout=600,
+        cwd=env["PYTHONPATH"], env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+    data = json.loads(r.stdout.strip().splitlines()[-1])
+    assert data["requests"] == 8
+    assert data["req_per_s"] > 0 and data["p95_ms"] > 0
+    assert data["mean_batch"] >= 1

@@ -73,3 +73,23 @@ def test_sharded_tiled_path():
     c1 = single.count_frames(frames)
     c2 = sharded.count_frames(frames)
     np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_artifact_counts_match_single_device(tmp_path):
+    """from_artifact(mesh=...): a saved int8 artifact serves
+    data-parallel with the qparams replicated once — counts equal the
+    single-device artifact path exactly (same int8 program)."""
+    from dgvcc_tpu.nn.quant_io import save_quantized
+
+    frames = _frames(8, 96, 128, seed=3)
+    built = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                         quantize=True, calib_frames=frames)
+    path = str(tmp_path / "base.i8")
+    save_quantized(built.quantized, path, "base")
+
+    single = VideoCounter.from_artifact(path, dtype=jnp.float32)
+    sharded = VideoCounter.from_artifact(path, dtype=jnp.float32,
+                                         mesh=make_mesh(8))
+    c1 = single.count_frames(frames)
+    c2 = sharded.count_frames(frames)
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
