@@ -917,7 +917,7 @@ def build_quantized(model, variables, calib_frames, dtype=jnp.bfloat16,
     if spec is None:
         raise ValueError(
             "int8 quantization supports the DG family and the conv(+BN) "
-            "baselines csrnet/mcnn/bl/sasnet/dssinet; got "
+            "baselines csrnet/mcnn/bl/sasnet/dssinet/cctrans; got "
             f"{type(model).__name__} (whitening counters need instance "
             "stats at eval and stay fp)")
     fold_fn, fwd_fn, fp_sites = spec

@@ -71,7 +71,8 @@ class VideoCounter:
         elif quantize:
             # int8 PTQ serving graph (nn/quant.py): ~1.5x the bf16 fps
             # on v5e. Supports the DG family + the conv(+BN) baselines
-            # (csrnet/mcnn/bl/sasnet/dssinet). Activation scales MUST come from
+            # (csrnet/mcnn/bl/sasnet/dssinet/cctrans). Activation scales
+            # MUST come from
             # real imagery — with calib_frames they're calibrated now,
             # otherwise calibration happens lazily on the first batch.
             from dgvcc_tpu.models.baselines.bl_vgg import BLVGG

@@ -758,7 +758,7 @@ class DGTrainer:
         current weights, calibrated on the given test samples, and wraps
         it in a TiledCounter so arbitrary-size evaluation works
         unchanged. Supports the DG family and the conv(+BN) baselines
-        (csrnet/mcnn/bl/sasnet/dssinet); ~1.5x eval throughput on v5e at ~1%
+        (csrnet/mcnn/bl/sasnet/dssinet/cctrans); ~1.5x eval throughput on v5e at ~1%
         count drift (BENCH_NOTES.md)."""
         from flax.core import unfreeze
 
