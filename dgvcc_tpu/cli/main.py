@@ -104,18 +104,22 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
 
 def _serve_http(cfg, port: int, quantize: bool = False,
                 artifact: str = None, frames_dir: str = None,
-                batch: int = 4):
+                batch: int = 4, block: bool = True):
     """`--task serve --http PORT`: network serving (serve_http.py) —
     POST /count with image bytes returns {"count": N}. ``--batch``
     bounds the request micro-batch (and the calibration frame count),
-    matching its directory-mode meaning."""
+    matching its directory-mode meaning. ``block=False`` serves on a
+    daemon thread and returns the server (tests, embedding)."""
     from dgvcc_tpu.serve_http import CountingServer
 
     counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
                              frames_dir=frames_dir, batch=batch)
-    CountingServer(counter, host="0.0.0.0", port=port,
-                   model_name=cfg.model["name"],
-                   max_batch=batch).serve_forever()
+    srv = CountingServer(counter, host="0.0.0.0", port=port,
+                         model_name=cfg.model["name"], max_batch=batch)
+    if not block:
+        srv.start()
+        return srv
+    srv.serve_forever()
 
 
 def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False,

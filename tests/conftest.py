@@ -83,6 +83,7 @@ HEAVY = (
     "test_serve_mesh.py::test_sharded_quantized_counts_match_single_device",
     "test_serve_mesh.py::test_sharded_artifact_counts_match_single_device",
     "test_serve_http.py::test_stress_tool_reports_batching",
+    "test_serve_http.py::test_cli_serve_http_from_artifact",
     # int8 artifact round-trips on the full DG / dssinet graphs
     "test_quant_io.py::test_dg_artifact_roundtrip",
     "test_quant_io.py::test_convnet_artifact_roundtrip[dssinet",

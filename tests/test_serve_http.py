@@ -174,3 +174,53 @@ def test_stress_tool_reports_batching(tmp_path):
     assert data["requests"] == 8
     assert data["req_per_s"] > 0 and data["p95_ms"] > 0
     assert data["mean_batch"] >= 1
+
+
+def test_cli_serve_http_from_artifact(tmp_path):
+    """CLI wiring: --task serve --artifact + HTTP front-end (the replica
+    deploy path, non-blocking for the test)."""
+    import yaml
+    from flax import serialization
+    from flax.core import unfreeze
+
+    from dgvcc_tpu.cli.main import _serve_http
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.quant_io import save_quantized
+    from dgvcc_tpu.serve import VideoCounter
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (2, 64, 96, 3), dtype=np.uint8)
+    built = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                         quantize=True, calib_frames=frames,
+                                         pretrained=False)
+    art = tmp_path / "base.i8"
+    save_quantized(built.quantized, str(art), "base",
+                   {"pretrained": False})
+
+    cfg = {
+        "seed": 0, "version": "http_t", "device": "cpu", "log_para": 1000,
+        "patch_size": 1440, "mode": "simple", "num_epochs": 1,
+        "checkpoint": None,
+        "model": {"name": "base", "params": {"pretrained": False}},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+        "compute_dtype": "float32", "log_dir": str(tmp_path / "logs"),
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    srv = _serve_http(load_config(str(p)), port=0, artifact=str(art),
+                      block=False)
+    try:
+        h = _get(srv, "/healthz")
+        assert h["quantized"] is True and h["model"] == "base"
+        buf = io.BytesIO()
+        Image.fromarray(frames[0]).save(buf, "PNG")
+        got = _post(srv, "/count", buf.getvalue())["count"]
+        ref = float(built.count_frames(frames[:1])[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+    finally:
+        srv.shutdown()
