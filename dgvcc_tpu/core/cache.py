@@ -1,12 +1,17 @@
 """Persistent XLA compile cache.
 
 One switch for every entry point (tests/conftest.py, bench.py,
-scripts/profile_stages.py): the remote-compile tunnel in this
-environment is slow and occasionally queues for minutes, while cached
-programs load in seconds. Entries are keyed by program + target, so a
-stale cache is only ever a miss (CPU AOT entries from a different host
-machine log a feature-mismatch error and fall back to recompile —
-BENCH_NOTES.md "Suite cost").
+scripts/profile_stages.py, CLI `compile_cache:`): the remote-compile
+tunnel in this environment is slow and occasionally queues for minutes,
+while cached programs load in seconds.
+
+Cross-host caveat (observed 2026-08-18): CPU AOT entries compiled on a
+DIFFERENT host usually log a feature-mismatch error and fall back to
+recompile, but entries whose feature delta the loader tolerates can
+EXECUTE with slightly different instruction selection — enough to shift
+f32 results at the 4th decimal and fail bit-level lockstep tests. If
+the machine changes under a cached workspace, delete the cache dir; the
+cpu_aot_loader "prefer-no-gather/scatter" error spam itself is benign.
 """
 
 from __future__ import annotations
