@@ -102,18 +102,34 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
             pretrained=False, den_dropout=0.0)
         downsample = 1
         build_kw = {"den_dropout": 0.0, "pretrained": False}
+    elif family == "ibn":
+        # the whitening family's train-mode arm: resnet50_ibn_b counter
+        # (ibnnet/__init__.py:11-28) — affine InstanceNorms (per-sample,
+        # no running stats: train==eval) interleaved with train-mode
+        # BatchNorms, the mix the migrated whitening counters rest on.
+        # ref_import's hub shim satisfies the hard-coded pretrained load
+        # with a fresh same-architecture state_dict.
+        ref = ref_import("models.ibnnet").IBNCounter_ResNet()
+        downsample = 1
+        build_kw = {"pretrained": False}
     else:
-        raise SystemExit(f"unsupported family {family} (mcnn | bl | dg_base)")
+        raise SystemExit(
+            f"unsupported family {family} (mcnn | bl | dg_base | ibn)")
     torch.manual_seed(seed)
 
     root = tempfile.mkdtemp(prefix=f"ab_{family}_")
     build_data(root, seed)
     loader, val_ds = make_loader(root, downsample, seed)
 
-    # identical initial weights via the tested converter
-    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    # identical initial weights via the tested converter. The .copy()
+    # is load-bearing: .numpy() ALIASES torch parameter storage, and
+    # contiguous 1-D leaves (biases, norm scales) convert to jax
+    # zero-copy on CPU — without the copy, every torch optimizer step
+    # silently mutates the "jax" weights too (caught by the IBN arm,
+    # whose many affine-norm params made the contamination visible)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
     model = MODELS.build({"dg_base": "base"}.get(family, family), **build_kw)
-    has_bn = family == "dg_base"
+    has_bn = family in ("dg_base", "ibn")
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(1)}
     v = model.init(init_rngs, jnp.zeros((1, 64, 64, 3)), train=False)
@@ -211,7 +227,7 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="mcnn",
-                    choices=["mcnn", "bl", "dg_base"])
+                    choices=["mcnn", "bl", "dg_base", "ibn"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)

@@ -34,3 +34,19 @@ def test_ab_lockstep_dg_base_sgd():
     (epoch, tl, jl, tmae, jmae), = rows
     assert abs(tl - jl) / max(abs(tl), 1e-6) < 2e-3, (tl, jl)
     assert abs(tmae - jmae) < 0.05, (tmae, jmae)
+
+
+@pytest.mark.heavy
+def test_ab_lockstep_ibn_sgd():
+    """The whitening family's train-mode arm: the IBN-b counter
+    (affine InstanceNorms + train-mode BatchNorms through a ResNet-50
+    trunk) stays numerically lockstep with the actual reference module
+    under SGD — extends the A/B evidence from eval-parity to training
+    for the whitening counters."""
+    import ab_compare
+
+    rows = ab_compare.ab_run("ibn", epochs=1, lr=1e-4, seed=3,
+                             optimizer="sgd")
+    (epoch, tl, jl, tmae, jmae), = rows
+    assert abs(tl - jl) / max(abs(tl), 1e-6) < 2e-3, (tl, jl)
+    assert abs(tmae - jmae) < 0.05, (tmae, jmae)
