@@ -112,9 +112,18 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
         ref = ref_import("models.ibnnet").IBNCounter_ResNet()
         downsample = 1
         build_kw = {"pretrained": False}
+    elif family == "sw":
+        # SwitchWhiten counter (models/SW/__init__.py:24-42): train-mode
+        # Newton–Schulz whitening with importance-weighted batch/instance
+        # stats AND running-stat momentum updates — the most
+        # TPU-idiosyncratic compute in the project, here checked through
+        # training gradients against the actual reference module.
+        ref = ref_import("models.SW").SWCounter_ResNet()
+        downsample = 1
+        build_kw = {"pretrained": False}
     else:
         raise SystemExit(
-            f"unsupported family {family} (mcnn | bl | dg_base | ibn)")
+            f"unsupported family {family} (mcnn | bl | dg_base | ibn | sw)")
     torch.manual_seed(seed)
 
     root = tempfile.mkdtemp(prefix=f"ab_{family}_")
@@ -129,7 +138,7 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
     # whose many affine-norm params made the contamination visible)
     sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
     model = MODELS.build({"dg_base": "base"}.get(family, family), **build_kw)
-    has_bn = family in ("dg_base", "ibn")
+    has_bn = family in ("dg_base", "ibn", "sw")
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(1)}
     v = model.init(init_rngs, jnp.zeros((1, 64, 64, 3)), train=False)
@@ -170,8 +179,13 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
     tloss = torch.nn.MSELoss()
 
     def torch_step(img_nhwc, dmap_nhwc):
-        x = torch.tensor(np.transpose(img_nhwc, (0, 3, 1, 2)))
-        y = torch.tensor(np.transpose(dmap_nhwc, (0, 3, 1, 2)))
+        # ascontiguousarray: torch.tensor keeps numpy strides, and the
+        # reference SW layer .view()s its input (switchwhiten.py:115) —
+        # real loaders hand it contiguous NCHW, so must the harness
+        x = torch.tensor(np.ascontiguousarray(
+            np.transpose(img_nhwc, (0, 3, 1, 2))))
+        y = torch.tensor(np.ascontiguousarray(
+            np.transpose(dmap_nhwc, (0, 3, 1, 2))))
         topt.zero_grad()
         out = ref(x)
         lv = tloss(out, y * LOG_PARA)
@@ -187,8 +201,8 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
             gt = len(s["gt"])
             img = s["img1"][None]
             with torch.no_grad():
-                tp = float(ref(torch.tensor(
-                    np.transpose(img, (0, 3, 1, 2)))).sum()) / LOG_PARA
+                tp = float(ref(torch.tensor(np.ascontiguousarray(
+                    np.transpose(img, (0, 3, 1, 2))))).sum()) / LOG_PARA
             jp = float(jpred(params, bstats, jnp.asarray(img)))
             tm.append(abs(tp - gt))
             jm.append(abs(jp - gt))
@@ -227,7 +241,7 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="mcnn",
-                    choices=["mcnn", "bl", "dg_base", "ibn"])
+                    choices=["mcnn", "bl", "dg_base", "ibn", "sw"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)

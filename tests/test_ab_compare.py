@@ -50,3 +50,19 @@ def test_ab_lockstep_ibn_sgd():
     (epoch, tl, jl, tmae, jmae), = rows
     assert abs(tl - jl) / max(abs(tl), 1e-6) < 2e-3, (tl, jl)
     assert abs(tmae - jmae) < 0.05, (tmae, jmae)
+
+
+@pytest.mark.heavy
+def test_ab_lockstep_sw_sgd():
+    """SwitchWhiten counter: train-mode Newton–Schulz whitening
+    (importance-weighted batch/instance stats, running-stat momentum)
+    stays lockstep with the actual reference module through training —
+    gradient-level evidence for the most TPU-idiosyncratic compute in
+    the project."""
+    import ab_compare
+
+    rows = ab_compare.ab_run("sw", epochs=1, lr=1e-4, seed=3,
+                             optimizer="sgd")
+    (epoch, tl, jl, tmae, jmae), = rows
+    assert abs(tl - jl) / max(abs(tl), 1e-6) < 2e-3, (tl, jl)
+    assert abs(tmae - jmae) < 0.05, (tmae, jmae)
