@@ -25,6 +25,22 @@ TARGET_MULTIPLIER = 3.0
 
 def main():
     import os
+    import threading
+
+    # watchdog: this container's TPU relay occasionally goes down in a
+    # mode where NEW connections hang forever (no error). A hung bench
+    # would stall the whole round-end pipeline — fail loudly instead.
+    def _die():
+        import sys
+
+        print("bench.py watchdog: no result after 900 s — the TPU relay "
+              "is likely down (new connections hang); aborting",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(900.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
 
     import jax
     import jax.numpy as jnp
@@ -132,6 +148,7 @@ def main():
         "train_img_per_s": round(train_img_s, 1),
         "train_ms_per_step": round(train_ms, 1),
     }))
+    watchdog.cancel()
 
 
 def bench_train(jax, jnp, rtt: float = 0.0):
