@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dgvcc_tpu.core.registry import MODELS
+from dgvcc_tpu.nn.layers import TorchBatchNorm
 
 
 class Mlp(nn.Module):
@@ -179,7 +180,7 @@ class Regression(nn.Module):
     @nn.compact
     def __call__(self, x1, x2, x3, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name)
 
         def cbr(x, ch, k, dil, name):

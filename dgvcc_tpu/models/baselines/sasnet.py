@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from dgvcc_tpu.core.registry import MODELS
 from dgvcc_tpu.nn.vgg import vgg16bn_stage
+from dgvcc_tpu.nn.layers import TorchBatchNorm
 
 
 def _resize_bilinear(x, hw):
@@ -72,7 +73,7 @@ class BasicConv(nn.Module):
         p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding=[(p, p)] * 2, use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=self.dtype)(x)
         return nn.relu(x)
 

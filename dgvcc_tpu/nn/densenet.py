@@ -33,6 +33,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dgvcc_tpu.nn.layers import TorchBatchNorm
+
 from dgvcc_tpu.nn.whitening import IBN, SwitchWhiten
 
 # torchvision block configs (SW/backbones/densenet.py:21-75)
@@ -62,7 +64,7 @@ class DenseNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 axis_name=self.axis_name)
 

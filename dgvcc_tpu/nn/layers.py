@@ -16,6 +16,75 @@ import numpy as np
 from flax import linen as nn
 
 
+class BatchNorm(nn.Module):
+    """Drop-in for ``flax.linen.BatchNorm`` with torch's running-stat
+    semantics.
+
+    flax updates the running variance with the BIASED batch variance;
+    ``torch.nn.BatchNorm2d`` normalizes with the biased variance but
+    stores the UNBIASED one (``var * n/(n-1)``) in ``running_var``
+    (ATen batch-norm update). The difference is O(1/n) per step, which
+    is invisible at production feature-map sizes but measurably shifts
+    eval-mode outputs after training when n = B*H*W is small (caught by
+    the CCTrans cross-framework A/B, whose Regression-head BNs see tiny
+    grids at toy geometry). Variable names match flax's exactly
+    (params: scale/bias, batch_stats: mean/var) so checkpoints and the
+    torch converters are unaffected.
+
+    ``axis_name`` syncs batch stats across a mesh axis (SyncBN role);
+    the unbiased correction then uses the GLOBAL element count, like
+    torch SyncBatchNorm.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    axis_name: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, red)
+            mean2 = jnp.mean(jnp.square(xf), red)
+            if self.axis_name:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - jnp.square(mean)
+            n = 1
+            for i in red:
+                n *= x.shape[i]
+            if self.axis_name:
+                n = n * jax.lax.psum(1, self.axis_name)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = (m * ra_var.value
+                                + (1 - m) * var * (n / jnp.maximum(n - 1, 1)))
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * mul + bias
+        return y.astype(self.dtype)
+
+
+# flax auto-names submodules by class name; keeping the class named
+# BatchNorm preserves 'BatchNorm_0' auto-paths in converted
+# checkpoints. TorchBatchNorm is the descriptive alias.
+TorchBatchNorm = BatchNorm
+
+
 class ConvBlock(nn.Module):
     """conv(+BN)(+ReLU) — reference models.py:8-21.
 
@@ -46,7 +115,7 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.bn:
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

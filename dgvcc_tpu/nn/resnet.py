@@ -29,6 +29,8 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dgvcc_tpu.nn.layers import TorchBatchNorm
+
 from dgvcc_tpu.nn.whitening import IBN, InstanceNorm, InstanceWhitening, SwitchWhiten
 
 # per-stage norm spec fields:
@@ -61,7 +63,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 axis_name=self.axis_name)
 
@@ -134,7 +136,7 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name=name,
                                 axis_name=self.axis_name)
 
@@ -206,7 +208,7 @@ class ResNetTrunk(nn.Module):
         out = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                       use_bias=False, dtype=self.dtype, name="conv1")(x)
         if self.stem_norm == "bn":
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype, name="bn1",
                                axis_name=self.axis_name)(out)
         elif self.stem_norm == "in_affine":

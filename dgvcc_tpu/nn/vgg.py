@@ -18,6 +18,8 @@ from typing import Any, List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dgvcc_tpu.nn.layers import TorchBatchNorm
+
 # torchvision cfgs: 'M' = 2x2/2 max pool
 VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512, "M"]
 VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
@@ -70,7 +72,7 @@ class VGGFeatures(nn.Module):
                     name=f"conv{idx}",
                 )(x)
             elif kind == "bn":
-                x = nn.BatchNorm(
+                x = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from dgvcc_tpu.nn.layers import TorchBatchNorm
+
 
 def newton_schulz_inv_sqrt(cov: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
     """Sigma^(-1/2) by coupled Newton-Schulz (switchwhiten.py:166-175).
@@ -230,7 +232,7 @@ class IBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(z):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype, name="BN",
                                 axis_name=self.axis_name)(z)
 

@@ -37,6 +37,13 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 LOG_PARA = 1000.0
 
+# CCTrans geometry mirroring tests/test_eval_parity.py: the Regression
+# head hard-codes 256/512/1024 stage widths (CCTrans.py:16-38), stage 1
+# and the depths stay tiny for CPU speed; depths=2 per stage exercises
+# both the windowed and the global-subsampled attention paths.
+_CC = dict(embed_dims=(32, 256, 512, 1024), num_heads=(2, 8, 16, 32),
+           depths=(2, 2, 2, 2), wss=(2, 2, 2, 2), sr_ratios=(8, 4, 2, 1))
+
 
 def build_data(root, seed=0):
     from convergence_tpu import make_learnable_dataset
@@ -87,6 +94,11 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
     from dgvcc_tpu.core.registry import MODELS
     from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
 
+    # seed BEFORE reference construction: torch's default generator is
+    # nondeterministically seeded per process, and ref init draws from
+    # it — seeding afterwards made runs irreproducible across processes
+    torch.manual_seed(seed)
+
     build_kw = {}
     if family == "mcnn":
         ref = ref_import("models.baselines.MCNN").MCNN()
@@ -121,10 +133,47 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
         ref = ref_import("models.SW").SWCounter_ResNet()
         downsample = 1
         build_kw = {"pretrained": False}
+    elif family == "sw_vgg":
+        # the SW zoo's VGG19 counter (SW/__init__.py:12-22): SW layers
+        # after every conv instead of interleaved with BN bottlenecks
+        ref = ref_import("models.SW").SWCounter_VGG()
+        downsample = 1
+        build_kw = {"pretrained": False}
+    elif family == "csrnet":
+        ref = ref_import("models.baselines.CSRNet").CSRNet(
+            load_weights=False)
+        downsample = 8
+    elif family == "dssinet":
+        # CRFVGG (DSSINet.py:285-417): multi-scale pyramid with CRF
+        # message passing and shared PReLUs — BN-free, so train-mode
+        # forwards are deterministic
+        ref = ref_import("models.baselines.DSSINet").CRFVGG()
+        downsample = 1
+    elif family == "sasnet":
+        # SASNet (SASNet.py:47-214): VGG16-BN U-Net, per-scale density
+        # heads + block confidence soft-selection, train-mode BN
+        ref = ref_import("models.baselines.SASNet").SASNet(pretrained=False)
+        downsample = 1
+    elif family == "cctrans":
+        # Twins-ALTGVT pyramid ViT (CCTrans.py:219-534) at the reduced
+        # geometry the eval-parity test uses (Regression head hard-codes
+        # 256/512/1024 stage widths; tiny depths for CPU speed). All
+        # reference drop rates default 0, so train mode is deterministic
+        # modulo the Regression head's BatchNorms.
+        from functools import partial
+        CC = ref_import("models.baselines.CCTrans")
+        ref = CC.ALTGVT(
+            patch_size=4, embed_dims=list(_CC["embed_dims"]),
+            num_heads=list(_CC["num_heads"]), mlp_ratios=[4, 4, 4, 4],
+            qkv_bias=True, norm_layer=partial(torch.nn.LayerNorm, eps=1e-6),
+            depths=list(_CC["depths"]), wss=list(_CC["wss"]),
+            sr_ratios=list(_CC["sr_ratios"]))
+        downsample = 8
+        build_kw = dict(_CC)
     else:
         raise SystemExit(
-            f"unsupported family {family} (mcnn | bl | dg_base | ibn | sw)")
-    torch.manual_seed(seed)
+            f"unsupported family {family} (mcnn | bl | dg_base | ibn | sw "
+            f"| sw_vgg | csrnet | dssinet | sasnet | cctrans)")
 
     root = tempfile.mkdtemp(prefix=f"ab_{family}_")
     build_data(root, seed)
@@ -138,7 +187,10 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
     # whose many affine-norm params made the contamination visible)
     sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
     model = MODELS.build({"dg_base": "base"}.get(family, family), **build_kw)
-    has_bn = family in ("dg_base", "ibn", "sw")
+    # families whose train-mode forward differs from eval: BatchNorm
+    # batch stats and/or whitening running-stat momentum updates
+    has_bn = family in ("dg_base", "ibn", "sw", "sw_vgg", "sasnet",
+                        "cctrans")
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "dropout": jax.random.PRNGKey(1)}
     v = model.init(init_rngs, jnp.zeros((1, 64, 64, 3)), train=False)
@@ -161,6 +213,8 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
             else:
                 pred = model.apply({"params": p}, img, train=False)
                 nbs = bstats
+            if isinstance(pred, (tuple, list)):  # cctrans returns extras
+                pred = pred[0]
             return jnp.mean((pred - dmap * LOG_PARA) ** 2), nbs
 
         (loss, nbs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -172,7 +226,10 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
         vv = {"params": params}
         if has_bn:
             vv["batch_stats"] = bstats
-        return jnp.sum(model.apply(vv, img, train=False)) / LOG_PARA
+        pred = model.apply(vv, img, train=False)
+        if isinstance(pred, (tuple, list)):
+            pred = pred[0]
+        return jnp.sum(pred) / LOG_PARA
 
     topt = (torch.optim.SGD(ref.parameters(), lr=lr) if optimizer == "sgd"
             else torch.optim.Adam(ref.parameters(), lr=lr))
@@ -238,13 +295,214 @@ def ab_run(family: str, epochs: int, lr: float, seed: int = 0,
     return rows
 
 
+def ab_run_isw(epochs: int = 2, lr: float = 1e-4, seed: int = 0,
+               optimizer: str = "sgd"):
+    """Lockstep A/B for the full 3-phase ISW protocol against the ACTUAL
+    reference module (models/ISW/__init__.py:21-122), CPU via the
+    reference_oracle shims.
+
+    Phases, mirroring dgtrainer.py:194-204 + predict2 (:86-102) on a
+    compressed schedule (mask after epoch 0 instead of epoch 5):
+      epoch 0       train with apply_wtloss=False (wt term zero)
+      epoch 0 val   per-sample covstat accumulation on two views
+                    (model([v1,v2], cal_covstat=True) vs our cov_stats)
+      after val     set_mask_matrix on BOTH sides — reference does this
+                    lazily at the first apply_wtloss forward
+                    (cov_settings.py:44-47) from the same accumulated
+                    stats, so an explicit call is equivalent; masks are
+                    compared entry-wise (topk over variance-of-cov;
+                    relax_denom=2 margin path, the shipped default)
+      epoch ≥ 1     train with total = mse + 0.6·wt on both sides
+
+    Returns (rows, mask_agreements): rows are per-epoch
+    (epoch, t_mse, j_mse, t_wt, j_wt, t_mae, j_mae)."""
+    import contextlib
+    import io
+
+    import numpy as np
+    import torch
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import optax
+
+    from reference_oracle import ref_import
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.core.registry import MODELS
+    from dgvcc_tpu.models.whitening import IswCovTracker
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+
+    torch.manual_seed(seed)
+    ISW = ref_import("models.ISW")
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref = ISW.ISWCounter_ResNet(criterion=torch.nn.MSELoss())
+
+    root = tempfile.mkdtemp(prefix="ab_isw_")
+    build_data(root, seed)
+    loader, val_ds = make_loader(root, 1, seed)
+
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    model = MODELS.build("isw", pretrained=False)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 64, 64, 3)), train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    params, bstats = v2["params"], v2["batch_stats"]
+    tracker = IswCovTracker()
+
+    tx = optax.sgd(lr) if optimizer == "sgd" else optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, bstats, opt_state, img, gts, masks, nums, margins,
+              apply_wt):
+        def loss_fn(p):
+            out, nv = model.apply(
+                {"params": p, "batch_stats": bstats}, img, gts=gts,
+                masks=masks, num_sensitive=nums, margins=margins,
+                apply_wtloss=apply_wt, train=True, mutable=["batch_stats"])
+            l1, wt = out
+            return l1 + 0.6 * wt, (nv["batch_stats"], l1, wt)
+
+        (_, (nbs, l1, wt)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), nbs, opt2, l1, wt
+
+    @jax.jit
+    def jpred(params, bstats, img):
+        return jnp.sum(model.apply({"params": params, "batch_stats": bstats},
+                                   img, train=False)) / LOG_PARA
+
+    @jax.jit
+    def jcov(params, bstats, x2):
+        return model.apply({"params": params, "batch_stats": bstats}, x2,
+                           method="cov_stats")
+
+    topt = (torch.optim.SGD(ref.parameters(), lr=lr) if optimizer == "sgd"
+            else torch.optim.Adam(ref.parameters(), lr=lr))
+
+    def nchw(a):
+        return torch.tensor(np.ascontiguousarray(
+            np.transpose(a, (0, 3, 1, 2))))
+
+    def torch_step(img, dmap, apply_wt):
+        topt.zero_grad()
+        # reference scales gts ×1000 internally (ISW/__init__.py:109)
+        out = ref(nchw(img), gts=nchw(dmap), apply_wtloss=apply_wt)
+        (out[0] + 0.6 * out[1]).backward()
+        topt.step()
+        return float(out[0].detach()), float(out[1].detach())
+
+    def val_epoch(do_covstat):
+        ref.eval()
+        tm, jm = [], []
+        for i in range(len(val_ds)):
+            s = val_ds[i]
+            gt = len(s["gt"])
+            img = s["img1"][None]
+            with torch.no_grad():
+                tp = float(ref(nchw(img)).sum()) / LOG_PARA
+            jp = float(jpred(params, bstats, jnp.asarray(img)))
+            tm.append(abs(tp - gt))
+            jm.append(abs(jp - gt))
+            if do_covstat:
+                # deterministic second view, identical on both sides
+                # (dgtrainer feeds den_cls's photometric view pair)
+                rng = np.random.default_rng(7000 + i)
+                img2 = (img + rng.normal(0, 0.05, img.shape)
+                        ).astype(np.float32)
+                with torch.no_grad():
+                    ref([nchw(img), nchw(img2)], cal_covstat=True)
+                stats = jcov(params, bstats,
+                             jnp.concatenate([jnp.asarray(img),
+                                              jnp.asarray(img2)]))
+                tracker.add({k: np.asarray(v) for k, v in stats.items()})
+        ref.train()
+        return float(np.mean(tm)), float(np.mean(jm))
+
+    ref.train()
+    print(f"A/B isw: {epochs} epochs, lr={lr}, 3-phase protocol "
+          f"(mask after epoch 0), optimizer={optimizer}")
+    print(f"{'epoch':>5} {'torch mse':>11} {'tpu mse':>11} "
+          f"{'torch wt':>10} {'tpu wt':>10} {'torch MAE':>10} "
+          f"{'tpu MAE':>10}")
+    rows, mask_agreements = [], []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        apply_wt = epoch >= 1
+        masks, nums, margins = tracker.mask_batch()
+        t1 = t2 = j1 = j2 = 0.0
+        nb = 0
+        for batch in loader:
+            img = np.asarray(batch["img1"], np.float32)
+            dmap = np.asarray(batch["dmap"], np.float32)
+            a, b = torch_step(img, dmap, apply_wt)
+            t1 += a
+            t2 += b
+            params, bstats, opt_state, l1, wt = jstep(
+                params, bstats, opt_state, jnp.asarray(img),
+                jnp.asarray(dmap) * LOG_PARA, masks, nums, margins,
+                apply_wt)
+            j1 += float(l1)
+            j2 += float(wt)
+            nb += 1
+        tmae, jmae = val_epoch(do_covstat=epoch == 0)
+        if epoch == 0:
+            # snapshot the accumulated variance-of-covariance BEFORE the
+            # selection resets it — used to weigh mask disagreements
+            var_mats = [v / tracker.count for v in tracker.var]
+            for i, cm in enumerate(ref.cov_matrix_layer):
+                tv = (cm.var_matrix / cm.count_var_cov).detach().numpy()
+                jv = var_mats[i]
+                denom = np.abs(tv).max() + 1e-30
+                print(f"site {i}: var-matrix maxreldiff "
+                      f"{np.abs(tv - jv).max() / denom:.3e} "
+                      f"(max {tv.max():.3e})")
+            with contextlib.redirect_stdout(io.StringIO()):
+                ref.set_mask_matrix()
+            tracker.set_mask_matrix()
+            for i, cm in enumerate(ref.cov_matrix_layer):
+                t_mask = cm.mask_matrix.detach().numpy()
+                j_mask = tracker.masks[i]
+                raw = float((t_mask == j_mask).mean())
+                # Instance whitening drives off-diagonal covariances
+                # toward 0, so the ~C²/4 variance values pack densely
+                # near the topk cutoff and float-noise reorders many
+                # near-ties — entry-level agreement is ill-conditioned.
+                # The well-conditioned check: disagreeing entries must
+                # carry a negligible share of the selected variance mass
+                # (i.e. every disagreement is a swap between near-equal
+                # entries straddling the cutoff, which leaves the
+                # whitening loss unchanged).
+                v = var_mats[i]
+                xor = t_mask != j_mask
+                share = float(v[xor].sum() / max(v[t_mask == 1].sum(),
+                                                 1e-30))
+                mask_agreements.append(
+                    (raw, share, float(t_mask.sum()), float(j_mask.sum())))
+        rows.append((epoch, t1 / nb, j1 / nb, t2 / nb, j2 / nb, tmae, jmae))
+        print(f"{epoch:5d} {t1 / nb:11.4f} {j1 / nb:11.4f} "
+              f"{t2 / nb:10.6f} {j2 / nb:10.6f} {tmae:10.3f} "
+              f"{jmae:10.3f}", flush=True)
+    print("mask per site (agreement, xor-var-share, n_t, n_j): "
+          + str([("%.4f" % r, "%.2e" % s, int(nt), int(nj))
+                 for r, s, nt, nj in mask_agreements]))
+    return rows, mask_agreements
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="mcnn",
-                    choices=["mcnn", "bl", "dg_base", "ibn", "sw"])
+                    choices=["mcnn", "bl", "dg_base", "ibn", "sw", "isw",
+                             "sw_vgg", "csrnet", "dssinet", "sasnet",
+                             "cctrans"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
     a = ap.parse_args()
-    ab_run(a.family, a.epochs, a.lr, a.seed, a.optimizer)
+    if a.family == "isw":
+        ab_run_isw(a.epochs, a.lr, a.seed, a.optimizer)
+    else:
+        ab_run(a.family, a.epochs, a.lr, a.seed, a.optimizer)

@@ -218,6 +218,9 @@ def install_shims():
     # (ISW/cov_settings.py:21, ISW/__init__.py:22); run the oracle on CPU.
     torch.Tensor.cuda = lambda self, *a, **k: self
     nn.Module.cuda = lambda self, *a, **k: self
+    # cov_settings.set_mask_matrix gates a print on the device index
+    # (cov_settings.py:79) — satisfy it without CUDA.
+    torch.cuda.current_device = lambda: 0
     _installed = True
 
 
