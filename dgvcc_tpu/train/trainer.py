@@ -29,6 +29,7 @@ import numpy as np
 
 from dgvcc_tpu.core.config import Config
 from dgvcc_tpu.core.logging import RunLogger
+from dgvcc_tpu.core.tb import ScalarWriter
 from dgvcc_tpu.core.registry import DATASETS, LOSSES, MODELS
 from dgvcc_tpu.data.loader import build_loader
 from dgvcc_tpu.ops.tiling import TiledCounter
@@ -63,6 +64,13 @@ class DGTrainer:
                             if cfg.extra.get("async_save") else None)
         self.rotator = CheckpointRotator(self.log_dir,
                                          writer=self.ckpt_writer)
+        # `tensorboard: true` adds TB scalars (loss components, val
+        # criterion, lr, epoch time) under {log_dir}/tb — additive to
+        # the reference's log.txt contract, no-op (and no extra host
+        # readbacks) when off
+        self.tb = ScalarWriter(os.path.join(self.log_dir, "tb"),
+                               enabled=bool(cfg.extra.get("tensorboard")),
+                               warn=self.log)
         self.mode = cfg.mode
         self.log_para = float(cfg.log_para)
         self.patch_size = cfg.patch_size
@@ -503,6 +511,7 @@ class DGTrainer:
 
     def train_epoch(self, epoch: int, best_criterion: float, best_epoch: int):
         start = time.time()
+        self._epoch = epoch
         if self.scheduler is not None:
             self.state = self.state.set_learning_rate(self.scheduler.current_lr)
             if self.joint:
@@ -581,6 +590,13 @@ class DGTrainer:
             )
         self.log(f"Epoch {epoch}: Training loss: {train_loss:.4f} "
                  f"Version: {self.cfg.version}")
+        if self.tb.enabled and metrics is not None:
+            # one extra device_get per EPOCH, only when tb is on
+            self.tb.scalars({k: float(v) for k, v in
+                             jax.device_get(metrics).items()},
+                            epoch, prefix="train/")
+            if self.scheduler is not None:
+                self.tb.scalar("train/lr", self.scheduler.current_lr, epoch)
 
         # scheduler steps per epoch, before validation (trainer.py:82-87)
         prev_criterion = getattr(self, "_last_criterion", None)
@@ -589,6 +605,12 @@ class DGTrainer:
 
         criterion = self.validate(epoch, best_criterion)
         self._last_criterion = criterion
+        if self.tb.enabled:
+            self.tb.scalar("val/criterion", criterion, epoch)
+            self.tb.scalars(getattr(self, "_last_val_extra", {}), epoch,
+                            prefix="val/")
+            self.tb.scalar("time/epoch_s", time.time() - start, epoch)
+            self.tb.flush()
 
         if criterion < best_criterion:
             best_criterion = criterion
@@ -627,6 +649,7 @@ class DGTrainer:
                 crit.update(mse)
             self.log(f"Epoch {epoch}: Val criterion: {crit.avg:.4f}", end=" ")
             self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
+            self._last_val_extra = {}
             return crit.avg
 
         for sample in self._progress(self.loaders["val"],
@@ -681,6 +704,7 @@ class DGTrainer:
         for k, v in extra.avg.items():
             self.log(f"{k}: {v:.4f}", end=" ")
         self.log(f"best: {best_criterion:.4f}, time: {time.time() - start:.4f}")
+        self._last_val_extra = dict(extra.avg)
         return crit.avg
 
     def _resume_point(self):
@@ -713,6 +737,7 @@ class DGTrainer:
             # raises (NaN guard, loader error) — otherwise async_save
             # would drop the very checkpoint a crash-resume needs
             self.rotator.flush()
+            self.tb.close()
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")
         self.log(f"End training at {get_current_datetime()}")
@@ -828,6 +853,12 @@ class DGTrainer:
             self.rotator.flush()
         self.log(f"Testing results saved to {self.log_dir}")
         self.log(f"End testing at {get_current_datetime()}")
+        if self.tb.enabled:
+            # inside train_and_test the step is the epoch that triggered
+            # this test; standalone --task test logs at step 0
+            self.tb.scalars(meter.avg, getattr(self, "_epoch", 0),
+                            prefix="test/")
+            self.tb.flush()
         return meter.avg
 
     def _test_every_epoch(self) -> bool:
