@@ -74,6 +74,10 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
 
     mesh = None
     dp = int((cfg.mesh or {}).get("data", 1))
+    # `serve_shard: spatial` slices each frame's HEIGHT over the mesh
+    # (GSPMD halo-exchange convs) instead of the batch — the giant-
+    # frame / batch=1 deployment regime (serve.py VideoCounter.shard)
+    shard = cfg.extra.get("serve_shard", "batch")
     if dp > 1:
         # config `mesh: {data: N}` serves data-parallel: the frame
         # batch shards over N chips (serve.py VideoCounter mesh path)
@@ -89,7 +93,7 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
         # prebuilt int8 artifact (--task quantize): skip checkpoint +
         # calibration entirely — the replica deploy path
         return VideoCounter.from_artifact(
-            artifact, log_para=cfg.log_para, mesh=mesh)
+            artifact, log_para=cfg.log_para, mesh=mesh, shard=shard)
     calib = None
     if quantize:
         if frames_dir is None:
@@ -98,7 +102,7 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
         calib = _load_calib(frames_dir, n=max(1, min(batch, 4)))
     return VideoCounter.from_checkpoint(
         cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
-        quantize=quantize, calib_frames=calib, mesh=mesh,
+        quantize=quantize, calib_frames=calib, mesh=mesh, shard=shard,
         **cfg.model.get("params", {}))
 
 

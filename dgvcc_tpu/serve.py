@@ -34,7 +34,7 @@ class VideoCounter:
                  bucket: int = 64, dtype=jnp.bfloat16, quantize: bool = False,
                  calib_frames: Optional[np.ndarray] = None,
                  tile_size: int = 768, tile_threshold: int = 4096,
-                 mesh=None, quantized=None):
+                 mesh=None, shard: str = "batch", quantized=None):
         self.model = model
         self.variables = variables
         self.log_para = log_para
@@ -49,6 +49,19 @@ class VideoCounter:
         # here one VideoCounter saturates a whole slice.
         self.mesh = mesh
         self.n_shards = int(mesh.devices.size) if mesh is not None else 1
+        # shard="spatial" slices each FRAME's height across the mesh
+        # instead of the batch: GSPMD spatially partitions every conv
+        # (halo rows ride ICI as collective-permutes — verified: the DG
+        # graph compiles to 114 halo exchanges and ZERO all-gathers, so
+        # the frame never rematerializes on one chip) and the per-frame
+        # density sum becomes one tiny all-reduce. This is the regime
+        # batch-DP can't touch: B=1 giant frames (gigapixel scenes,
+        # HBM-overflow inputs) count as ONE image across the slice,
+        # numerically equal to the single-device whole-frame forward
+        # (tests/test_serve_mesh.py asserts ≤1e-5 rel).
+        if shard not in ("batch", "spatial"):
+            raise ValueError(f"shard must be 'batch' or 'spatial', got {shard!r}")
+        self.shard = shard
         # frames whose max dimension exceeds tile_threshold run through
         # the tiled path (tile_size x tile_size tile batch) instead of
         # one monolithic multi-megapixel program; tile_size=0 disables.
@@ -128,12 +141,22 @@ class VideoCounter:
             from dgvcc_tpu.parallel.mesh import DATA_AXIS
 
             rep = NamedSharding(mesh, P())
-            row = NamedSharding(mesh, P(DATA_AXIS))
-            # weights replicated, batch dim sharded; _launch pads the
-            # batch to a multiple of the axis size. The tiled path's
-            # (B, T, t, t, 3) input shards on B so every tile of a
-            # frame stays on that frame's shard.
-            jit_kw = dict(in_shardings=(rep, row, row), out_shardings=row)
+            if shard == "spatial":
+                # dim 1 shards: H of whole frames, T of the tile batch
+                # (each frame's tiles spread over the mesh; the in-jit
+                # per-frame sum is the only cross-shard reduce). valid_hw
+                # and counts replicate — counts are O(B) scalars.
+                part = NamedSharding(mesh, P(None, DATA_AXIS))
+                jit_kw = dict(in_shardings=(rep, part, rep),
+                              out_shardings=rep)
+            else:
+                row = NamedSharding(mesh, P(DATA_AXIS))
+                # weights replicated, batch dim sharded; _launch pads the
+                # batch to a multiple of the axis size. The tiled path's
+                # (B, T, t, t, 3) input shards on B so every tile of a
+                # frame stays on that frame's shard.
+                jit_kw = dict(in_shardings=(rep, row, row),
+                              out_shardings=row)
         else:
             jit_kw = {}
 
@@ -196,7 +219,7 @@ class VideoCounter:
                         quantize: bool = False,
                         calib_frames: Optional[np.ndarray] = None,
                         tile_size: int = 768, tile_threshold: int = 4096,
-                        mesh=None, **model_params):
+                        mesh=None, shard: str = "batch", **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
         model = MODELS.build(model_name, dtype=dtype, **model_params)
@@ -248,12 +271,13 @@ class VideoCounter:
         return cls(model, variables, log_para=log_para, dtype=dtype,
                    quantize=quantize, calib_frames=calib_frames,
                    tile_size=tile_size, tile_threshold=tile_threshold,
-                   mesh=mesh)
+                   mesh=mesh, shard=shard)
 
     @classmethod
     def from_artifact(cls, path: str, log_para: float = 1000.0,
                       dtype=None, tile_size: int = 768,
-                      tile_threshold: int = 4096, mesh=None):
+                      tile_threshold: int = 4096, mesh=None,
+                      shard: str = "batch"):
         """Serve from a saved int8 artifact (nn/quant_io.py): no
         checkpoint, no calibration frames, no fp forward at startup —
         the deploy path for replicas. ``dtype`` overrides the stored
@@ -263,7 +287,7 @@ class VideoCounter:
         art = load_quantized(path, dtype=dtype)
         return cls(art.model, None, log_para=log_para,
                    dtype=art.quantized.dtype, tile_size=tile_size,
-                   tile_threshold=tile_threshold, mesh=mesh,
+                   tile_threshold=tile_threshold, mesh=mesh, shard=shard,
                    quantized=art.quantized)
 
     def _pad(self, frames: np.ndarray):
@@ -298,7 +322,7 @@ class VideoCounter:
     def _launch(self, frames: np.ndarray):
         """Dispatch one batch; returns a (B,) device-array future."""
         b = frames.shape[0]
-        if self.n_shards > 1 and b % self.n_shards:
+        if self.n_shards > 1 and self.shard == "batch" and b % self.n_shards:
             # batch dim shards over the mesh — pad with zero frames and
             # drop their counts (lazy slice keeps this a device future)
             extra = self.n_shards - b % self.n_shards

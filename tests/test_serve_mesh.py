@@ -75,6 +75,72 @@ def test_sharded_tiled_path():
     np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
 
 
+def test_spatial_sharded_counts_match_single_device():
+    """shard='spatial': each frame's HEIGHT slices over the mesh — XLA
+    GSPMD spatially partitions every conv (halo rows as
+    collective-permutes) and the per-frame density sum is the only
+    cross-shard reduce. Counts must equal single-device whole-frame
+    serving. This is the B=1 giant-frame deployment regime that
+    batch-DP leaves 7/8 chips idle on."""
+    frames = _frames(1, 192, 160, seed=4)
+    single = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32)
+    spatial = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                           mesh=make_mesh(8),
+                                           shard="spatial")
+    c1 = single.count_frames(frames)
+    c2 = spatial.count_frames(frames)
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
+    # no batch padding in spatial mode: odd batch sizes pass through
+    frames3 = _frames(3, 96, 128, seed=5)
+    np.testing.assert_allclose(spatial.count_frames(frames3),
+                               single.count_frames(frames3),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_sharded_partitions_do_not_gather():
+    """The compiled spatial program must keep the frame sharded: halo
+    collective-permutes present, no all-gather of activations (an
+    all-gather would mean the 'sharded' forward secretly rebuilt the
+    whole frame on every chip)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vc = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                      mesh=make_mesh(8), shard="spatial")
+    frames, _ = vc._pad(_frames(1, 192, 160, seed=4))
+    valid = np.tile(np.int32([192, 160]), (1, 1))
+    hlo = vc._infer.lower(vc._weights(), jnp.asarray(frames),
+                          jnp.asarray(valid)).compile().as_text()
+    assert hlo.count("collective-permute") > 0
+    assert hlo.count("all-gather") == 0
+
+
+def test_spatial_sharded_quantized_artifact(tmp_path):
+    """spatial mode composes with the int8 artifact deploy path."""
+    from dgvcc_tpu.nn.quant_io import save_quantized
+
+    frames = _frames(2, 96, 128, seed=6)
+    built = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                         quantize=True, calib_frames=frames)
+    path = str(tmp_path / "base_sp.i8")
+    save_quantized(built.quantized, path, "base")
+
+    single = VideoCounter.from_artifact(path, dtype=jnp.float32)
+    spatial = VideoCounter.from_artifact(path, dtype=jnp.float32,
+                                         mesh=make_mesh(8), shard="spatial")
+    np.testing.assert_allclose(spatial.count_frames(frames),
+                               single.count_frames(frames),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_shard_arg_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="spatial"):
+        VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                     mesh=make_mesh(8), shard="bogus")
+
+
 def test_sharded_artifact_counts_match_single_device(tmp_path):
     """from_artifact(mesh=...): a saved int8 artifact serves
     data-parallel with the qparams replicated once — counts equal the
