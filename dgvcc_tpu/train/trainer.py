@@ -108,8 +108,29 @@ class DGTrainer:
         # (models/ISW/sync_switchwhiten.py:12-56, ISW/config.py:135).
         dp = int((cfg.mesh or {}).get("data", 1))
         mp = int((cfg.mesh or {}).get("model", 1))
+        sp = int((cfg.mesh or {}).get("spatial", 1))
         self.dp_mesh = None
         self.mesh2d = None
+        self.sp_mesh = None
+        if sp > 1:
+            # `mesh: {spatial: N}`: crop HEIGHT shards over the mesh via
+            # GSPMD (parallel/spatial.py) — per-chip activation memory
+            # drops ~N×, numerics stay single-device-exact (global-view
+            # stats). For crops that fit one chip prefer data DP (no
+            # halo traffic), so composition is deliberately rejected.
+            if dp > 1 or mp > 1:
+                raise ValueError("mesh: {spatial: N} does not compose "
+                                 "with data/model axes — spatial is for "
+                                 "samples too large for one chip")
+            if jax.process_count() > 1:
+                raise ValueError("mesh spatial-axis sharding is single-"
+                                 "process for now")
+            if self.mode == "joint":
+                raise ValueError("mesh: {spatial: N} is not supported "
+                                 "for joint mode")
+            from dgvcc_tpu.parallel.spatial import make_spatial_mesh
+
+            self.sp_mesh = make_spatial_mesh(sp)
         if mp > 1:
             # composed data × tensor parallelism: `mesh: {data: N, model: M}`
             # — batches shard over 'data', the DG memory bank (and its
@@ -306,6 +327,19 @@ class DGTrainer:
                     con_weight=con_weight)
                 self.state = replicate(self.dp_mesh, self.state)
                 self.log(f"Data parallel over {dp} devices")
+            elif self.sp_mesh is not None:
+                from dgvcc_tpu.parallel.mesh import replicate
+                from dgvcc_tpu.parallel.spatial import \
+                    build_spatial_train_step
+
+                self.train_step = build_spatial_train_step(
+                    self.model, self.loss, self.mode, self.log_para,
+                    self.sp_mesh, donate=cfg.donate, loss_fn=custom_loss_fn,
+                    con_weight=con_weight)
+                self.state = replicate(self.sp_mesh, self.state)
+                self.log(f"Spatial parallel over "
+                         f"{self.sp_mesh.devices.size} devices "
+                         "(crop height sharded, GSPMD halo exchange)")
             else:
                 self.train_step = jit_train_step(
                     build_train_step(self.model, self.loss, self.mode,
