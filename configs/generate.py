@@ -214,6 +214,17 @@ def main():
     big["accum_steps"] = 4
     emit("tpu/sta_final_bigcrop.yml", big)
 
+    # ---- TPU showcase: spatial partitioning --------------------------------
+    # crops too large for ONE chip: the crop height shards over the
+    # mesh (GSPMD halo-exchange convs, single-device numerics) —
+    # parallel/spatial.py, QUICKSTART section 3. 1024^2 two-view crops
+    # at batch 4 in 1/8th the per-chip activation memory.
+    sp = base_config("sta_final_spatial", "sta", "stb", num_epochs=80,
+                     batch_size=4)
+    sp["train_dataset"]["params"]["crop_size"] = 1024
+    sp["mesh"] = {"spatial": 8}
+    emit("tpu/sta_final_spatial.yml", sp)
+
     # ---- classic counting baselines ----------------------------------------
     classic = {
         "csrnet": {"downsample": 8}, "mcnn": {"downsample": 4},
