@@ -74,21 +74,28 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
 
     mesh = None
     dp = int((cfg.mesh or {}).get("data", 1))
+    sp = int((cfg.mesh or {}).get("spatial", 1))
     # `serve_shard: spatial` slices each frame's HEIGHT over the mesh
     # (GSPMD halo-exchange convs) instead of the batch — the giant-
-    # frame / batch=1 deployment regime (serve.py VideoCounter.shard)
+    # frame / batch=1 deployment regime (serve.py VideoCounter.shard).
+    # The mesh size comes from either mesh key (spatial preferred).
     shard = cfg.extra.get("serve_shard", "batch")
-    if dp > 1:
-        # config `mesh: {data: N}` serves data-parallel: the frame
-        # batch shards over N chips (serve.py VideoCounter mesh path)
+    n_mesh = sp if (shard == "spatial" and sp > 1) else dp
+    if shard == "spatial" and n_mesh <= 1:
+        raise SystemExit(
+            "serve_shard: spatial needs a mesh — set mesh: {spatial: N} "
+            "(or mesh: {data: N}) in the config")
+    if n_mesh > 1:
+        # the frame batch (or, spatial, each frame's height) shards
+        # over N chips (serve.py VideoCounter mesh path)
         import jax
 
         from dgvcc_tpu.parallel import make_mesh
 
-        if dp > len(jax.devices()):
+        if n_mesh > len(jax.devices()):
             raise SystemExit(
-                f"mesh data={dp} but only {len(jax.devices())} devices")
-        mesh = make_mesh(dp)
+                f"mesh {n_mesh} but only {len(jax.devices())} devices")
+        mesh = make_mesh(n_mesh)
     if artifact is not None:
         # prebuilt int8 artifact (--task quantize): skip checkpoint +
         # calibration entirely — the replica deploy path

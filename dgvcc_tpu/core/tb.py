@@ -35,13 +35,16 @@ class ScalarWriter:
 
     def _get(self):
         if self._writer is None:
+            # construction included: an unwritable logdir (SummaryWriter
+            # mkdirs it) must disable logging, not kill the run
             try:
                 from torch.utils.tensorboard import SummaryWriter
-            except Exception as e:  # pragma: no cover - env without torch TB
+
+                self._writer = SummaryWriter(log_dir=self.logdir)
+            except Exception as e:
                 self._warn(f"[tb] tensorboard disabled ({e})")
                 self.enabled = False
                 return None
-            self._writer = SummaryWriter(log_dir=self.logdir)
         return self._writer
 
     def scalar(self, tag: str, value, step: int):
@@ -62,10 +65,20 @@ class ScalarWriter:
             self.scalar(prefix + k, v, step)
 
     def flush(self):
+        # guarded: flush runs right after a write may have disabled the
+        # writer, and close runs in trainer finally-blocks where a raise
+        # would mask the real exception (e.g. the NaN-guard diagnostic)
         if self._writer is not None:
-            self._writer.flush()
+            try:
+                self._writer.flush()
+            except Exception as e:
+                self._warn(f"[tb] flush failed, disabling ({e})")
+                self.enabled = False
 
     def close(self):
         if self._writer is not None:
-            self._writer.close()
+            try:
+                self._writer.close()
+            except Exception as e:
+                self._warn(f"[tb] close failed ({e})")
             self._writer = None

@@ -28,11 +28,17 @@ from dgvcc_tpu.train.steps import build_train_step
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, devices=None,
+              axis: str = DATA_AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"mesh {axis}={n_devices} but only {len(devices)} devices "
+                "visible — a silently smaller mesh would shard less than "
+                "the config promises")
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    return Mesh(np.asarray(devices), (axis,))
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:

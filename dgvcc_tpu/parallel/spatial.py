@@ -54,32 +54,43 @@ SPATIAL_AXIS = "spatial"
 # scalars) replicates
 _SPATIAL_KEYS = frozenset({"img1", "img2", "dmap", "bmap",
                            "frames_u8", "dmaps"})
+# the full-resolution subset whose replication would defeat the mode
+_IMAGE_KEYS = frozenset({"img1", "img2", "frames_u8"})
 
 
 def make_spatial_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (SPATIAL_AXIS,))
+    from dgvcc_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_devices, devices, axis=SPATIAL_AXIS)
 
 
 def shard_batch_spatial(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Place a host batch with image heights sharded over the mesh.
 
-    A spatial key only shards when its height divides the axis size —
-    low-res auxiliary targets (e.g. the stride-16 bmap at small test
+    A non-image spatial key only shards when its height divides the
+    axis size — low-res auxiliary targets (the stride-16 bmap at small
     geometries, downsampled dmaps) replicate instead. That costs
     nothing that matters: the memory pressure spatial mode exists for
     is the full-res image ACTIVATIONS, and GSPMD consumes a replicated
-    operand against sharded ones without any resharding."""
+    operand against sharded ones without any resharding. The image
+    keys themselves must divide, though — silently replicating them
+    would run every chip at full activation memory while the log
+    claims spatial sharding, so that raises with the fix (pick a crop
+    height divisible by the axis size)."""
     n = mesh.devices.size
     sp = NamedSharding(mesh, P(None, SPATIAL_AXIS))
     rep = NamedSharding(mesh, P())
 
     def place(k, v):
         arr = np.asarray(v) if not hasattr(v, "shape") else v
-        spatial = (k in _SPATIAL_KEYS and arr.ndim >= 2
-                   and arr.shape[1] % n == 0)
+        divisible = arr.ndim >= 2 and arr.shape[1] % n == 0
+        if k in _IMAGE_KEYS and not divisible:
+            raise ValueError(
+                f"mesh: {{spatial: {n}}} needs the crop height divisible "
+                f"by {n}, but batch['{k}'] has height {arr.shape[1]} — "
+                "adjust crop_size (replicating the image would defeat "
+                "the sharding)")
+        spatial = k in _SPATIAL_KEYS and divisible
         return jax.device_put(v, sp if spatial else rep)
 
     return {k: place(k, v) for k, v in batch.items()}

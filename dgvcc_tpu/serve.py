@@ -219,7 +219,8 @@ class VideoCounter:
                         quantize: bool = False,
                         calib_frames: Optional[np.ndarray] = None,
                         tile_size: int = 768, tile_threshold: int = 4096,
-                        mesh=None, shard: str = "batch", **model_params):
+                        mesh=None, shard: str = "batch", bucket: int = 64,
+                        **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
         model = MODELS.build(model_name, dtype=dtype, **model_params)
@@ -271,7 +272,7 @@ class VideoCounter:
         return cls(model, variables, log_para=log_para, dtype=dtype,
                    quantize=quantize, calib_frames=calib_frames,
                    tile_size=tile_size, tile_threshold=tile_threshold,
-                   mesh=mesh, shard=shard)
+                   mesh=mesh, shard=shard, bucket=bucket)
 
     @classmethod
     def from_artifact(cls, path: str, log_para: float = 1000.0,
@@ -292,7 +293,13 @@ class VideoCounter:
 
     def _pad(self, frames: np.ndarray):
         b, h, w, c = frames.shape
-        bh = math.ceil(h / self.bucket) * self.bucket
+        hb = self.bucket
+        if self.shard == "spatial":
+            # the H dim shards over the mesh: jit in_shardings demand
+            # divisibility, so round the bucket up to cover the axis
+            # size (the valid_hw mask zeroes the extra rows' counts)
+            hb = math.lcm(self.bucket, self.n_shards)
+        bh = math.ceil(h / hb) * hb
         bw = math.ceil(w / self.bucket) * self.bucket
         if (bh, bw) == (h, w):
             return frames, (h, w)
@@ -335,6 +342,19 @@ class VideoCounter:
         b, h, w, _ = frames.shape
         if self.tile_size and max(h, w) > self.tile_threshold:
             tiles, valid = self._tile(frames)
+            if self.shard == "spatial" and tiles.shape[1] % self.n_shards:
+                # the tile dim shards over the mesh — pad each frame's
+                # tile list to the axis size with zero tiles whose zero
+                # valid extents mask their counts out of the sums
+                t = tiles.shape[1]
+                extra = self.n_shards - t % self.n_shards
+                tiles = np.concatenate(
+                    [tiles, np.zeros((b, extra) + tiles.shape[2:],
+                                     tiles.dtype)], axis=1)
+                valid = np.concatenate(
+                    [valid.reshape(b, t, 2),
+                     np.zeros((b, extra, 2), valid.dtype)],
+                    axis=1).reshape(b * (t + extra), 2)
             return self._infer_tiled(self._weights(), jnp.asarray(tiles),
                                      jnp.asarray(valid))
         padded, (h, w) = self._pad(frames)

@@ -32,6 +32,41 @@ from dgvcc_tpu.core.cache import enable_compile_cache  # noqa: E402
 enable_compile_cache(os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".xla_cache"))
 
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synth_root_factory(tmp_path_factory):
+    """Canonical-layout synthetic crowd dataset builder (img.jpg +
+    points.npy + _dmap.npy per sample) for trainer e2e tests — shared
+    so the dataset contract lives in ONE place."""
+
+    def make(name, seed=1, splits=(("train", 4), ("val", 2), ("test", 2)),
+             hw=(96, 112), pts_per_img=12):
+        import numpy as np
+        from PIL import Image
+
+        from dgvcc_tpu.ops.dmap import gaussian_density_fixed_np
+
+        root = tmp_path_factory.mktemp(name)
+        rng = np.random.default_rng(seed)
+        h, w = hw
+        for split, n in splits:
+            d = root / split
+            d.mkdir()
+            for k in range(n):
+                img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+                Image.fromarray(img).save(d / f"img{k:03d}.jpg")
+                pts = rng.uniform(0, [w, h],
+                                  (pts_per_img, 2)).astype(np.float32)
+                np.save(d / f"img{k:03d}.npy", pts)
+                np.save(d / f"img{k:03d}_dmap.npy",
+                        gaussian_density_fixed_np((h, w), pts))
+        return str(root)
+
+    return make
+
 # ---------------------------------------------------------------------------
 # Two-lane suite. Even with the compile cache, the ~25 slowest tests are
 # TRACING-bound (full VGG/ResNet train graphs traced per test; tracing is

@@ -133,6 +133,83 @@ def test_spatial_sharded_quantized_artifact(tmp_path):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_spatial_tiled_path_pads_indivisible_tile_count():
+    """Tiled path under spatial sharding: a tile count that doesn't
+    divide the mesh (3x3=9 tiles on 8 devices) pads with zero tiles
+    whose zero valid extents mask them out — counts equal the
+    single-device tiled path (review finding: used to crash with a
+    divisibility ValueError at dispatch)."""
+    frames = _frames(2, 180, 180, seed=7)
+    kw = dict(dtype=jnp.float32, tile_size=64, tile_threshold=96)
+    single = VideoCounter.from_checkpoint("base", None, **kw)
+    spatial = VideoCounter.from_checkpoint("base", None, mesh=make_mesh(8),
+                                           shard="spatial", **kw)
+    c1 = single.count_frames(frames)
+    c2 = spatial.count_frames(frames)
+    np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_whole_frame_pads_height_to_axis():
+    """Whole-frame spatial path on a mesh size the 64-bucket doesn't
+    cover (3 devices): H pads to lcm(bucket, n)=192 instead of crashing
+    on jit divisibility. When the padded height already divides the
+    axis, sharding is LOSSLESS (exact equality); when the lcm adds
+    extra rows, the count shifts only by the model's padding
+    sensitivity (bilinear upsample grids depend on the padded size —
+    a property of bucketed serving itself, not of the sharding)."""
+    spatial = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                           mesh=make_mesh(3),
+                                           shard="spatial")
+    single = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32)
+
+    # H=192 divides both bucket and axis: bit-for-bit identical padding
+    exact = _frames(1, 192, 64, seed=8)
+    np.testing.assert_allclose(spatial.count_frames(exact),
+                               single.count_frames(exact),
+                               rtol=1e-5, atol=1e-5)
+
+    # H=100 → spatial pads to 192, single to 128: no crash, and the
+    # count stays within the padding-sensitivity envelope
+    ragged = _frames(1, 100, 64, seed=8)
+    c_sp = spatial.count_frames(ragged)
+    c_1 = single.count_frames(ragged)
+    np.testing.assert_allclose(c_sp, c_1, rtol=0.1, atol=0.05)
+
+
+def test_cli_builds_spatial_mesh_from_config(tmp_path):
+    """`serve_shard: spatial` + `mesh: {spatial: 8}` must actually
+    engage the mesh (review finding: the CLI only read mesh.data, so
+    the natural pairing silently served unsharded), and spatial without
+    any mesh must fail loudly."""
+    import yaml
+
+    from dgvcc_tpu.cli.main import _build_counter
+    from dgvcc_tpu.core.config import load_config
+
+    base = {
+        "seed": 1, "version": "clisp", "device": "cpu", "log_para": 1000,
+        "patch_size": 1440, "mode": "simple", "num_epochs": 1,
+        "checkpoint": None, "serve_shard": "spatial",
+        "mesh": {"spatial": 8},
+        "model": {"name": "base", "params": {"pretrained": False}},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+        "scheduler": {"name": "step", "params": {"step_size": 1}},
+        "log_dir": str(tmp_path / "logs"),
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(base))
+    counter = _build_counter(load_config(str(p)))
+    assert counter.shard == "spatial" and counter.n_shards == 8
+
+    base["mesh"] = {}
+    p.write_text(yaml.safe_dump(base))
+    import pytest
+
+    with pytest.raises(SystemExit, match="spatial"):
+        _build_counter(load_config(str(p)))
+
+
 def test_shard_arg_validated():
     import pytest
 

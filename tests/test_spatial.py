@@ -101,7 +101,8 @@ def test_spatial_step_dg_final_first_step_exact():
 
 def test_spatial_batch_placement():
     """Full-res keys shard on H; indivisible low-res targets and
-    non-spatial keys replicate."""
+    non-spatial keys replicate; an indivisible IMAGE raises (silent
+    replication would defeat the sharding — review finding)."""
     mesh = make_spatial_mesh(8)
     batch = {
         "img1": np.zeros((2, 64, 48, 3), np.float32),
@@ -113,6 +114,21 @@ def test_spatial_batch_placement():
         None, "spatial")
     for k in ("bmap", "isw_masks"):
         assert placed[k].sharding.spec == jax.sharding.PartitionSpec()
+
+    with pytest.raises(ValueError, match="divisible"):
+        shard_batch_spatial(mesh, {"img1": np.zeros((2, 60, 48, 3),
+                                                    np.float32)})
+
+
+def test_mesh_oversubscription_raises():
+    """Asking for more mesh devices than exist must fail loudly, not
+    silently shard less than the config promises (review finding)."""
+    from dgvcc_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(64)
+    with pytest.raises(ValueError, match="devices"):
+        make_spatial_mesh(64)
 
 
 def test_trainer_spatial_mesh_e2e(tmp_path, synth_root_sp):
@@ -181,22 +197,5 @@ def test_spatial_rejects_composition_and_joint(tmp_path, synth_root_sp):
 
 
 @pytest.fixture(scope="module")
-def synth_root_sp(tmp_path_factory):
-    from PIL import Image
-
-    from dgvcc_tpu.ops.dmap import gaussian_density_fixed_np
-
-    root = tmp_path_factory.mktemp("spds")
-    rng = np.random.default_rng(9)
-    for split, n in (("train", 4), ("val", 2), ("test", 2)):
-        d = root / split
-        d.mkdir()
-        for k in range(n):
-            h, w = 96, 112
-            img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
-            Image.fromarray(img).save(d / f"img{k:03d}.jpg")
-            pts = rng.uniform(0, [w, h], (12, 2)).astype(np.float32)
-            np.save(d / f"img{k:03d}.npy", pts)
-            np.save(d / f"img{k:03d}_dmap.npy",
-                    gaussian_density_fixed_np((h, w), pts))
-    return str(root)
+def synth_root_sp(synth_root_factory):
+    return synth_root_factory("spds", seed=9)

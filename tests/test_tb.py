@@ -66,6 +66,37 @@ def test_scalar_writer_survives_write_failure(tmp_path):
     w.scalar("after", 3.0, 2)  # inert now
 
 
+def test_scalar_writer_guards_flush_close_and_construction(tmp_path):
+    """Review findings: flush/close after a failure must not raise (a
+    close in a finally-block would mask the real exception), and an
+    unwritable logdir must disable logging instead of killing the run."""
+    msgs = []
+
+    class Boom:
+        def add_scalar(self, *a, **k):
+            raise RuntimeError("disk full")
+
+        def flush(self):
+            raise RuntimeError("still broken")
+
+        def close(self):
+            raise RuntimeError("still broken")
+
+    w = ScalarWriter(str(tmp_path / "tb"), enabled=True, warn=msgs.append)
+    w._writer = Boom()
+    w.scalar("x", 1.0, 0)
+    w.flush()  # must not raise
+    w.close()  # must not raise
+    assert w._writer is None and msgs
+
+    # construction failure: logdir is a FILE, SummaryWriter mkdir fails
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    w2 = ScalarWriter(str(blocker / "tb"), enabled=True, warn=msgs.append)
+    w2.scalar("x", 1.0, 0)  # must not raise
+    assert not w2.enabled
+
+
 def test_trainer_writes_tb_scalars(tmp_path, synth_root_tb):
     """e2e: `tensorboard: true` in a config → train+val+test scalars."""
     import yaml
@@ -110,22 +141,5 @@ def test_trainer_writes_tb_scalars(tmp_path, synth_root_tb):
 
 
 @pytest.fixture(scope="module")
-def synth_root_tb(tmp_path_factory):
-    from PIL import Image
-
-    from dgvcc_tpu.ops.dmap import gaussian_density_fixed_np
-
-    root = tmp_path_factory.mktemp("tbds")
-    rng = np.random.default_rng(3)
-    for split, n in (("train", 4), ("val", 2), ("test", 2)):
-        d = root / split
-        d.mkdir()
-        for k in range(n):
-            h, w = 96, 112
-            img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
-            Image.fromarray(img).save(d / f"img{k:03d}.jpg")
-            pts = rng.uniform(0, [w, h], (12, 2)).astype(np.float32)
-            np.save(d / f"img{k:03d}.npy", pts)
-            np.save(d / f"img{k:03d}_dmap.npy",
-                    gaussian_density_fixed_np((h, w), pts))
-    return str(root)
+def synth_root_tb(synth_root_factory):
+    return synth_root_factory("tbds", seed=3)
