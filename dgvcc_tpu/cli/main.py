@@ -65,12 +65,62 @@ def _quantize(cfg, frames_dir: str, out: str):
           f"(+{len(counter.quantized.qparams['sites']) - n8} fp)")
 
 
+def _aot_export(cfg, shapes: str, platforms: str, out: str,
+                quantize: bool = False, artifact: str = None,
+                frames_dir: str = None, batch: int = 4):
+    """`--task aot`: serialize the serving program itself (nn/aot.py).
+
+    Exports one StableHLO program per --shapes entry (BxHxW, comma-
+    separated) for the --platforms targets (e.g. "tpu,cpu" — a CPU
+    build host can emit TPU programs). Source graph: the config's
+    checkpoint, optionally --quantize'd, or a prebuilt int8 --artifact
+    (then the AOT file is a self-contained int8 program). Replicas
+    serve it with `--task serve --aot OUT` — no model code, no
+    re-trace."""
+    from dgvcc_tpu.nn.aot import export_serving, save_aot
+
+    if out is None or shapes is None:
+        raise SystemExit("--task aot requires --out FILE and --shapes "
+                         "BxHxW[,BxHxW...] (e.g. --shapes 1x1080x1920,4x720x1280)")
+    if artifact is None and cfg.checkpoint is None:
+        raise SystemExit("--task aot requires a checkpoint (config key "
+                         "'checkpoint' or --ckpt) or an int8 --artifact")
+    try:
+        parsed = [tuple(int(x) for x in tok.lower().split("x"))
+                  for tok in shapes.split(",")]
+        assert all(len(s) == 3 for s in parsed)
+    except (ValueError, AssertionError):
+        raise SystemExit(f"--shapes must be BxHxW[,BxHxW...], got {shapes!r}")
+    plats = ([p.strip() for p in platforms.split(",") if p.strip()]
+             if platforms else None)
+    counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
+                             frames_dir=frames_dir, batch=batch)
+    doc = export_serving(counter, parsed, platforms=plats)
+    save_aot(doc, out)
+    print(f"[aot] wrote {out}: {len(doc['programs'])} programs "
+          f"{sorted(doc['programs'])} for platforms {doc['platforms']}"
+          f"{' (int8)' if doc['quantized'] else ''}")
+
+
 def _build_counter(cfg, quantize: bool = False, artifact: str = None,
-                   frames_dir: str = None, batch: int = 4):
+                   frames_dir: str = None, batch: int = 4, aot: str = None):
     """One VideoCounter from the config: artifact deploy path, or
     checkpoint (+ optional int8 calibration on --frames imagery); a
-    `mesh: {data: N}` config serves data-parallel."""
+    `mesh: {data: N}` config serves data-parallel. ``aot`` short-
+    circuits everything: the serving program is already compiled-and-
+    serialized (nn/aot.py), so no model build happens at all."""
     from dgvcc_tpu.serve import VideoCounter
+
+    if aot is not None:
+        from dgvcc_tpu.nn.aot import AotCounter
+
+        if int((cfg.mesh or {}).get("data", 1)) > 1 or \
+                int((cfg.mesh or {}).get("spatial", 1)) > 1:
+            raise SystemExit(
+                "--aot serves single-device programs; for data-parallel "
+                "deployment run one replica process per chip, each "
+                "loading the same AOT file")
+        return AotCounter.load(aot)
 
     mesh = None
     dp = int((cfg.mesh or {}).get("data", 1))
@@ -115,7 +165,7 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
 
 def _serve_http(cfg, port: int, quantize: bool = False,
                 artifact: str = None, frames_dir: str = None,
-                batch: int = 4, block: bool = True):
+                batch: int = 4, block: bool = True, aot: str = None):
     """`--task serve --http PORT`: network serving (serve_http.py) —
     POST /count with image bytes returns {"count": N}. ``--batch``
     bounds the request micro-batch (and the calibration frame count),
@@ -124,7 +174,7 @@ def _serve_http(cfg, port: int, quantize: bool = False,
     from dgvcc_tpu.serve_http import CountingServer
 
     counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
-                             frames_dir=frames_dir, batch=batch)
+                             frames_dir=frames_dir, batch=batch, aot=aot)
     srv = CountingServer(counter, host="0.0.0.0", port=port,
                          model_name=cfg.model["name"], max_batch=batch)
     if not block:
@@ -134,7 +184,7 @@ def _serve_http(cfg, port: int, quantize: bool = False,
 
 
 def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False,
-           artifact: str = None):
+           artifact: str = None, aot: str = None):
     """Stream per-frame crowd counts over a directory of images.
 
     Beyond-reference serving surface (the reference's closest analog is
@@ -149,7 +199,7 @@ def _serve(cfg, frames_dir: str, batch: int, quantize: bool = False,
 
     names = _list_images(frames_dir)
     counter = _build_counter(cfg, quantize=quantize, artifact=artifact,
-                             frames_dir=frames_dir, batch=batch)
+                             frames_dir=frames_dir, batch=batch, aot=aot)
 
     def batches():
         """Consecutive same-shape frames batched together (mixed sizes
@@ -229,7 +279,8 @@ def _export(trainer, cfg, template: str, out: str):
 
 def run(config_path: str, task: str, frames: str = None, batch: int = 4,
         ckpt: str = None, quantize: bool = False, template: str = None,
-        out: str = None, artifact: str = None, http: int = None):
+        out: str = None, artifact: str = None, http: int = None,
+        aot: str = None, shapes: str = None, platforms: str = None):
     from dgvcc_tpu.core.config import load_config
     from dgvcc_tpu.train.trainer import DGTrainer
 
@@ -279,14 +330,18 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4,
     elif task == "serve":
         if http is not None:
             _serve_http(cfg, http, quantize=quantize, artifact=artifact,
-                        frames_dir=frames, batch=batch)
+                        frames_dir=frames, batch=batch, aot=aot)
         else:
             if frames is None:
                 raise SystemExit(
                     "--task serve requires --frames DIR (or --http PORT)")
-            _serve(cfg, frames, batch, quantize=quantize, artifact=artifact)
+            _serve(cfg, frames, batch, quantize=quantize, artifact=artifact,
+                   aot=aot)
     elif task == "quantize":
         _quantize(cfg, frames, out)
+    elif task == "aot":
+        _aot_export(cfg, shapes, platforms, out, quantize=quantize,
+                    artifact=artifact, frames_dir=frames, batch=batch)
     elif task == "export":
         _export(trainer, cfg, template, out)
     else:
@@ -298,7 +353,8 @@ def build_parser():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--task", type=str, default="train",
                         choices=["train", "test", "vis", "train_test",
-                                 "generate", "serve", "export", "quantize"])
+                                 "generate", "serve", "export", "quantize",
+                                 "aot"])
     parser.add_argument("--frames", type=str, default=None,
                         help="image directory for --task serve")
     parser.add_argument("--batch", type=int, default=4,
@@ -323,6 +379,17 @@ def build_parser():
                         help="--task serve: listen on this port instead "
                              "of reading --frames (POST /count, GET "
                              "/healthz|/stats — serve_http.py)")
+    parser.add_argument("--aot", type=str, default=None,
+                        help="--task serve: a saved AOT program artifact "
+                             "(--task aot output) — replays the serialized "
+                             "StableHLO, no model code or re-trace")
+    parser.add_argument("--shapes", type=str, default=None,
+                        help="--task aot: frame shapes to export, "
+                             "BxHxW[,BxHxW...] (e.g. 1x1080x1920,4x720x1280)")
+    parser.add_argument("--platforms", type=str, default=None,
+                        help="--task aot: lowering targets, e.g. 'tpu,cpu' "
+                             "(default: this host's platform). A CPU host "
+                             "can emit TPU programs.")
     return parser
 
 
@@ -330,7 +397,8 @@ def main():
     args = build_parser().parse_args()
     run(args.config, args.task, frames=args.frames, batch=args.batch,
         ckpt=args.ckpt, quantize=args.quantize, template=args.template,
-        out=args.out, artifact=args.artifact, http=args.http)
+        out=args.out, artifact=args.artifact, http=args.http,
+        aot=args.aot, shapes=args.shapes, platforms=args.platforms)
 
 
 if __name__ == "__main__":

@@ -120,6 +120,7 @@ HEAVY = (
     "test_serve_http.py::test_stress_tool_reports_batching",
     "test_serve_http.py::test_cli_serve_http_from_artifact",
     # int8 artifact round-trips on the full DG / dssinet graphs
+    "test_aot.py::test_aot_quantized_dg_roundtrip",
     "test_quant_io.py::test_dg_artifact_roundtrip",
     "test_quant_io.py::test_convnet_artifact_roundtrip[dssinet",
     "test_quant_io.py::test_convnet_artifact_roundtrip[cctrans",
