@@ -224,3 +224,51 @@ def test_cli_serve_http_from_artifact(tmp_path):
         np.testing.assert_allclose(got, ref, rtol=1e-6)
     finally:
         srv.shutdown()
+
+
+def test_cli_serve_http_from_aot(tmp_path):
+    """CLI wiring: --task serve --aot + HTTP front-end — the server
+    replays the serialized StableHLO program; an unexported frame shape
+    surfaces as a per-request error, not a server crash."""
+    import yaml
+    from PIL import Image
+
+    from dgvcc_tpu.cli.main import _serve_http
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.nn.aot import export_serving, save_aot
+    from dgvcc_tpu.serve import VideoCounter
+
+    built = VideoCounter.from_checkpoint("mcnn", None, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (1, 64, 96, 3), dtype=np.uint8)
+    art = tmp_path / "mcnn.aot"
+    save_aot(export_serving(built, [(1, 64, 96)]), str(art))
+
+    cfg = {
+        "seed": 0, "version": "http_aot", "device": "cpu", "log_para": 1000,
+        "patch_size": 1440, "mode": "simple", "num_epochs": 1,
+        "checkpoint": None,
+        "model": {"name": "mcnn", "params": {}},
+        "loss": {"name": "mse", "params": {}},
+        "optimizer": {"name": "adam", "params": {"lr": 1e-4}},
+        "compute_dtype": "float32", "log_dir": str(tmp_path / "logs"),
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(cfg))
+
+    srv = _serve_http(load_config(str(p)), port=0, aot=str(art), block=False)
+    try:
+        assert _get(srv, "/healthz")["model"] == "mcnn"
+        buf = io.BytesIO()
+        Image.fromarray(frames[0]).save(buf, "PNG")
+        got = _post(srv, "/count", buf.getvalue())["count"]
+        ref = float(built.count_frames(frames)[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+        # unexported shape → HTTP error for that request, server lives
+        buf2 = io.BytesIO()
+        Image.fromarray(np.zeros((200, 300, 3), np.uint8)).save(buf2, "PNG")
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, "/count", buf2.getvalue())
+        assert _get(srv, "/healthz")["model"] == "mcnn"
+    finally:
+        srv.shutdown()
