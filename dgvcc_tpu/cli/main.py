@@ -157,10 +157,15 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
             raise SystemExit("--quantize without --artifact needs "
                              "--frames DIR for scale calibration")
         calib = _load_calib(frames_dir, n=max(1, min(batch, 4)))
+    import jax.numpy as jnp
+
+    # honor the config's activation dtype (trainer parity: bf16 default,
+    # `compute_dtype: float32` for CPU/debug serving)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     return VideoCounter.from_checkpoint(
         cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
         quantize=quantize, calib_frames=calib, mesh=mesh, shard=shard,
-        **cfg.model.get("params", {}))
+        dtype=dtype, **cfg.model.get("params", {}))
 
 
 def _serve_http(cfg, port: int, quantize: bool = False,

@@ -119,6 +119,9 @@ HEAVY = (
     "test_serve_mesh.py::test_sharded_artifact_counts_match_single_device",
     "test_serve_http.py::test_stress_tool_reports_batching",
     "test_serve_http.py::test_cli_serve_http_from_artifact",
+    # fleet tests spawn replica subprocesses (fresh JAX compile each)
+    "test_serve_fleet.py::test_fleet_round_robin_failover",
+    "test_serve_fleet.py::test_fleet_restart_respawns_dead_replica",
     # int8 artifact round-trips on the full DG / dssinet graphs
     "test_aot.py::test_aot_quantized_dg_roundtrip",
     "test_quant_io.py::test_dg_artifact_roundtrip",
