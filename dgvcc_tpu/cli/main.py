@@ -282,6 +282,14 @@ def _export(trainer, cfg, template: str, out: str):
     print(f"[export] wrote {len(sd)} tensors to {out}")
 
 
+def parse_ckpt_override(ckpt: str):
+    """--ckpt value → `checkpoint:` config form. A comma pair means the
+    joint-mode [gen, reg] list checkpoint (configs/stb_joint.yml style,
+    reference dgtrainer.py:35-48) — lets scripts/launch.py --supervise
+    resume joint runs from their last_gen.ckpt,last_reg.ckpt pair."""
+    return ckpt.split(",") if "," in ckpt else ckpt
+
+
 def run(config_path: str, task: str, frames: str = None, batch: int = 4,
         ckpt: str = None, quantize: bool = False, template: str = None,
         out: str = None, artifact: str = None, http: int = None,
@@ -302,7 +310,7 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4,
     if ckpt is not None:
         # command-line override of the config's `checkpoint:` key
         # (resume/eval without editing the YAML; used by scripts/launch.py)
-        cfg.checkpoint = ckpt
+        cfg.checkpoint = parse_ckpt_override(ckpt)
     # honor the config's device key (reference uses cuda:N; here 'cpu'
     # forces the CPU backend — useful for debugging — anything else uses
     # the default platform, i.e. the TPU)

@@ -9,9 +9,19 @@ dispatched to the first device that frees up (at most one process per
 device at a time); with no --devices they run sequentially on the
 default device, exactly like the reference script.
 
+--supervise N adds crash recovery: a run that exits non-zero (OOM,
+preempted host, loader error, segfault) is re-enqueued up to N times,
+auto-resuming from its own rolling `last.ckpt` (joint mode: the
+`last_gen/last_reg` pair) when one exists — the trainer checkpoints
+full state (params + optimizer + epoch + best), so the retry continues
+from the last completed epoch rather than restarting. The reference has
+no recovery story at all (crash = rerun by hand from `last.pth`,
+weights only).
+
 Usage:
   python scripts/launch.py --task train_test configs/sta_final.yml configs/sta_base.yml
   python scripts/launch.py --task train --devices 0,1,2,3 configs/*.yml
+  python scripts/launch.py --supervise 3 --task train configs/sta_final.yml
   python scripts/launch.py --dry-run --devices 0,1 a.yml b.yml c.yml
 """
 
@@ -35,6 +45,26 @@ def build_env(device: str | None) -> dict:
     return env
 
 
+def resume_ckpt(cfg_path: str) -> str | None:
+    """The run's own rolling checkpoint, if it got far enough to write
+    one: {log_dir}/{version}/last.ckpt, or the last_gen/last_reg pair
+    for joint mode (returned comma-joined — the CLI splits it back into
+    the [gen, reg] list form)."""
+    import yaml
+
+    try:
+        with open(cfg_path) as f:
+            c = yaml.safe_load(f) or {}
+    except OSError:
+        return None
+    d = os.path.join(c.get("log_dir", "logs"), c.get("version", "debug"))
+    pair = [os.path.join(d, f"last_{k}.ckpt") for k in ("gen", "reg")]
+    if all(os.path.exists(p) for p in pair):
+        return ",".join(pair)
+    p = os.path.join(d, "last.ckpt")
+    return p if os.path.exists(p) else None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("configs", nargs="+", help="config YAML paths")
@@ -44,19 +74,23 @@ def main(argv=None) -> int:
                     help="comma-separated device ids; one process per id "
                          "at a time (omit = sequential on the default device)")
     ap.add_argument("--ckpt", default=None, help="checkpoint forwarded to every run")
+    ap.add_argument("--supervise", type=int, default=0, metavar="N",
+                    help="restart a failed run up to N times, resuming "
+                         "from its last.ckpt when one exists")
     ap.add_argument("--dry-run", action="store_true", help="print the plan only")
     args = ap.parse_args(argv)
 
     devices = args.devices.split(",") if args.devices else [None]
-    queue = list(args.configs)
-    running: dict[str, tuple] = {}  # device -> (proc, config)
+    queue = [(cfg, 0) for cfg in args.configs]  # (config, attempt)
+    running: dict[str, tuple] = {}  # device -> (proc, config, attempt)
     failures = []
 
-    def cmd_for(cfg_path):
+    def cmd_for(cfg_path, resume=None):
         cmd = [sys.executable, "-m", "dgvcc_tpu.cli.main",
                "--task", args.task, "--config", cfg_path]
-        if args.ckpt:
-            cmd += ["--ckpt", args.ckpt]
+        ckpt = resume if resume is not None else args.ckpt
+        if ckpt:
+            cmd += ["--ckpt", ckpt]
         return cmd
 
     if args.dry_run:
@@ -64,29 +98,41 @@ def main(argv=None) -> int:
         # assignment — the plan shows queue order and the device pool
         pool = ",".join(d if d is not None else "default" for d in devices)
         print(f"[launch] device pool: [{pool}] (first-free scheduling)")
-        for i, cfg in enumerate(queue):
+        for i, (cfg, _) in enumerate(queue):
             print(f"[queue {i}] " + " ".join(cmd_for(cfg)))
         return 0
 
     while queue or running:
         # reap finished
         for dev in list(running):
-            proc, cfg = running[dev]
+            proc, cfg, attempt = running[dev]
             if proc.poll() is not None:
                 del running[dev]
                 status = "ok" if proc.returncode == 0 else f"FAILED rc={proc.returncode}"
                 print(f"[launch] {cfg} on {dev or 'default'}: {status}",
                       flush=True)
                 if proc.returncode != 0:
-                    failures.append(cfg)
+                    if attempt < args.supervise:
+                        r = resume_ckpt(cfg)
+                        print(f"[launch] supervising {cfg}: restart "
+                              f"{attempt + 1}/{args.supervise}"
+                              + (f", resuming from {r}" if r else
+                                 " from scratch (no last.ckpt yet)"),
+                              flush=True)
+                        queue.insert(0, (cfg, attempt + 1))
+                    else:
+                        failures.append(cfg)
         # fill free devices
         for dev in devices:
             key = dev if dev is not None else "default"
             if queue and key not in running:
-                cfg = queue.pop(0)
-                print(f"[launch] starting {cfg} on {key}", flush=True)
-                running[key] = (subprocess.Popen(cmd_for(cfg),
-                                                 env=build_env(dev)), cfg)
+                cfg, attempt = queue.pop(0)
+                resume = resume_ckpt(cfg) if attempt > 0 else None
+                proc = subprocess.Popen(cmd_for(cfg, resume),
+                                        env=build_env(dev))
+                print(f"[launch] starting {cfg} on {key} pid={proc.pid}",
+                      flush=True)
+                running[key] = (proc, cfg, attempt)
         if running:
             time.sleep(2)
 

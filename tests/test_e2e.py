@@ -304,6 +304,96 @@ def test_launcher_dry_run_and_env(tmp_path, capsys):
     assert ns.ckpt == "logs/x/last.ckpt"
 
 
+def test_launcher_resume_ckpt_discovery(tmp_path):
+    """--supervise finds the run's own rolling checkpoint from the
+    config's log_dir/version: single last.ckpt, the joint-mode
+    last_gen/last_reg pair (comma-joined), or None before any save."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        import launch
+    finally:
+        sys.path.pop(0)
+
+    cfg = {"log_dir": str(tmp_path / "logs"), "version": "v"}
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    d = tmp_path / "logs" / "v"
+    d.mkdir(parents=True)
+
+    assert launch.resume_ckpt(str(p)) is None          # nothing saved yet
+    assert launch.resume_ckpt("/nonexistent.yml") is None
+
+    (d / "last.ckpt").write_bytes(b"x")
+    assert launch.resume_ckpt(str(p)) == str(d / "last.ckpt")
+
+    (d / "last_gen.ckpt").write_bytes(b"x")
+    (d / "last_reg.ckpt").write_bytes(b"x")
+    pair = launch.resume_ckpt(str(p))                  # joint pair wins
+    assert pair == f"{d / 'last_gen.ckpt'},{d / 'last_reg.ckpt'}"
+
+    # and the CLI splits the pair back into the [gen, reg] list form
+    from dgvcc_tpu.cli.main import parse_ckpt_override
+    assert parse_ckpt_override(pair) == [str(d / "last_gen.ckpt"),
+                                         str(d / "last_reg.ckpt")]
+    assert parse_ckpt_override("single.ckpt") == "single.ckpt"
+
+
+def test_supervised_launch_recovers_from_crash(tmp_path, synth_root):
+    """launch.py --supervise N: a training process SIGKILLed mid-run is
+    restarted by the supervisor, resumes from its own last.ckpt, and
+    completes (launcher rc 0, 'Resuming from epoch' in the run log).
+    SIGKILL specifically — SIGTERM would take the trainer's graceful
+    path (rc 0) and never reach the supervisor."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    cfg_path, cfg = make_config(tmp_path, synth_root)
+    c = yaml.safe_load(open(cfg_path))
+    # subprocess runs don't see conftest's CPU pin — the config's
+    # device key must force it (cli/main.py honors device: cpu)
+    c.update(device="cpu", version="supervised", num_epochs=8)
+    open(cfg_path, "w").write(yaml.safe_dump(c))
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    launcher = os.path.join(os.path.dirname(__file__), "..",
+                            "scripts", "launch.py")
+    out_path = tmp_path / "launch.out"
+    with open(out_path, "w") as out:
+        proc = subprocess.Popen(
+            [sys.executable, launcher, "--task", "train",
+             "--supervise", "2", cfg_path],
+            stdout=out, stderr=subprocess.STDOUT, env=env)
+    log_dir = os.path.join(cfg["log_dir"], "supervised")
+    last = os.path.join(log_dir, "last.ckpt")
+    try:
+        # wait for the first epoch's rolling save, then SIGKILL the
+        # TRAINING process (pid from the launcher's start line)
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline and not os.path.exists(last):
+            assert proc.poll() is None, open(out_path).read()
+            time.sleep(0.3)
+        assert os.path.exists(last), open(out_path).read()
+        pid = int(re.search(r"pid=(\d+)", open(out_path).read()).group(1))
+        os.kill(pid, signal.SIGKILL)
+        rc = proc.wait(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    out_text = open(out_path).read()
+    assert rc == 0, out_text
+    assert "restart 1/2" in out_text, out_text
+    assert "resuming from" in out_text, out_text
+    log = open(os.path.join(log_dir, "log.txt")).read()
+    assert "Resuming from epoch" in log
+    assert "End training" in log
+
+
 def test_preemption_graceful_save(tmp_path, synth_root):
     """SIGTERM during training sets the flag (handler test), and a
     mid-epoch preemption saves last.ckpt for the last COMPLETED epoch
