@@ -25,6 +25,13 @@ TPU-specific extensions (all optional, defaulted):
                    disk writes to a background thread (snapshot-on-device
                    keeps them exact under buffer donation; flushed at
                    train/test end and on preemption)
+    ema:           float in (0, 1)           — Polyak/EMA shadow weights
+                   (decay per step, updated inside the fused train step;
+                   with accum_steps the shadow updates every micro-step).
+                   validate/test/vis/export and `--task serve` on the
+                   checkpoint all use the averaged weights; checkpoints
+                   carry them (`ema_params`), and resuming a pre-EMA
+                   checkpoint seeds the shadow from its params
 """
 
 from __future__ import annotations

@@ -250,9 +250,14 @@ class VideoCounter:
             with open(ckpt_path, "rb") as f:
                 loaded = serialization.msgpack_restore(f.read())
             warnings: list = []
+            # serve the EMA shadow when the run kept one (`ema:` config)
+            # — deployment is exactly what the averaged weights are for
+            src = loaded.get("ema_params") or loaded.get("params", {})
+            if "ema_params" in loaded:
+                print("[serve ckpt] using EMA-averaged weights")
             variables = {
                 "params": _merge_nonstrict(unfreeze(variables["params"]),
-                                           loaded.get("params", {}),
+                                           src,
                                            "params", warnings),
                 "batch_stats": _merge_nonstrict(
                     unfreeze(variables.get("batch_stats", {})),

@@ -31,6 +31,8 @@ def _to_state_dict(state, extra: Optional[Dict] = None) -> Dict[str, Any]:
         "opt_state": serialization.to_state_dict(state.opt_state),
         "step": np.asarray(state.step),
     }
+    if getattr(state, "ema_params", None) is not None:
+        d["ema_params"] = unfreeze(state.ema_params)
     if extra:
         d["extra"] = extra
     return d
@@ -170,11 +172,32 @@ def load_checkpoint(path: str, state, strict: bool = False):
             warnings.append(f"opt_state not restored: {e}")
     if "step" in loaded:
         new_state = new_state.replace(step=np.asarray(loaded["step"]))
+    if getattr(state, "ema_params", None) is not None:
+        if "ema_params" in loaded:
+            ema = _merge_nonstrict(unfreeze(state.ema_params),
+                                   loaded["ema_params"], "ema_params",
+                                   warnings)
+        else:
+            # checkpoint predates EMA (or was trained with it off):
+            # seed the shadow weights from the restored params so the
+            # average starts at the resumed model, not at random init
+            # (copied — aliased buffers would be donated twice by the
+            # donated train step)
+            ema = jax.tree.map(np.copy, new_state.params)
+            warnings.append("ema_params: seeded from the checkpoint's "
+                            "params (none saved)")
+        new_state = new_state.replace(ema_params=ema)
+    elif "ema_params" in loaded:
+        warnings.append("ema_params: present in the checkpoint but ema "
+                        "is off for this run — ignored (set `ema:` in "
+                        "the config to evaluate them)")
     if strict:
         # strict about WEIGHTS (missing/unexpected/shape-mismatched
         # params or batch_stats); an optimizer-state mismatch only means
-        # the optimizer config changed and stays a warning
-        fatal = [w for w in warnings if not w.startswith("opt_state")]
+        # the optimizer config changed and stays a warning. EMA shadows
+        # are derived state: seeding/ignoring them is not corruption
+        fatal = [w for w in warnings
+                 if not w.startswith(("opt_state", "ema_params"))]
         if fatal:
             raise ValueError("strict load failed:\n" + "\n".join(fatal))
     return new_state, loaded.get("extra", {}), warnings

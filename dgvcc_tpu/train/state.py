@@ -22,15 +22,30 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Polyak/EMA shadow weights (config ``ema: 0.999``; None = off).
+    # Seeded from the init params, updated inside the fused train step,
+    # evaluated/exported by the trainer in place of the raw params.
+    # batch_stats are NOT shadowed — the running stats are already an
+    # exponential average. The decay rides along as a pytree leaf so
+    # the update stays inside jit (and shards with the state).
+    ema_params: Any = None
+    ema_decay: Any = None
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype),
+                ema, new_params)
         return self.replace(
             step=self.step + 1,
             params=new_params,
             batch_stats=new_batch_stats if new_batch_stats is not None else self.batch_stats,
             opt_state=new_opt_state,
+            ema_params=ema,
         )
 
     def set_learning_rate(self, lr: float) -> "TrainState":
@@ -51,8 +66,12 @@ class TrainState(struct.PyTreeNode):
         return self.replace(opt_state=fix(self.opt_state))
 
 
-def create_train_state(model, rng, sample_input, tx, train_kwargs: Optional[Dict] = None):
-    """Initialize model variables and optimizer state."""
+def create_train_state(model, rng, sample_input, tx,
+                       train_kwargs: Optional[Dict] = None,
+                       ema_decay: float = 0.0):
+    """Initialize model variables and optimizer state. ``ema_decay`` > 0
+    adds Polyak-averaged shadow params (seeded from the init weights —
+    no bias correction needed)."""
     params_rng, dropout_rng = jax.random.split(rng)
     variables = model.init(
         {"params": params_rng, "dropout": dropout_rng}, sample_input,
@@ -66,4 +85,8 @@ def create_train_state(model, rng, sample_input, tx, train_kwargs: Optional[Dict
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         tx=tx,
+        # REAL copies — aliasing the param buffers would make the
+        # donated train step see the same buffer twice (donate_argnums)
+        ema_params=jax.tree.map(jnp.copy, params) if ema_decay else None,
+        ema_decay=jnp.asarray(ema_decay, jnp.float32) if ema_decay else None,
     )

@@ -237,6 +237,16 @@ class DGTrainer:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
         base_lr = cfg.optimizer.get("params", {}).get("lr", 1e-3)
         self.scheduler = build_scheduler(cfg.scheduler, base_lr)
+        # `ema: 0.999` — Polyak-averaged shadow weights, updated inside
+        # the fused train step; validate/test/vis/export all evaluate
+        # the average (train/state.py). Beyond-reference.
+        ema = float(cfg.extra.get("ema", 0) or 0)
+        if ema and not 0.0 < ema < 1.0:
+            raise ValueError(f"ema must be in (0, 1); got {ema}")
+        self.ema_decay = ema
+        if ema:
+            self.log(f"EMA enabled: decay {ema} (eval/export use the "
+                     "averaged weights)")
 
         crop = 64
         if cfg.train_dataset is not None:
@@ -265,10 +275,12 @@ class DGTrainer:
                 self.gen_tx = optax.MultiSteps(self.gen_tx,
                                                every_k_schedule=accum)
             self.gen_state = create_train_state(
-                self.gen_model, jax.random.PRNGKey(cfg.seed + 7), sample, self.gen_tx
+                self.gen_model, jax.random.PRNGKey(cfg.seed + 7), sample,
+                self.gen_tx, ema_decay=self.ema_decay
             )
             self.state = create_train_state(
-                self.reg_model, jax.random.PRNGKey(cfg.seed), sample, self.tx
+                self.reg_model, jax.random.PRNGKey(cfg.seed), sample,
+                self.tx, ema_decay=self.ema_decay
             )
             if self.dp_mesh is not None:
                 from dgvcc_tpu.parallel.mesh import (
@@ -300,7 +312,8 @@ class DGTrainer:
                 custom_loss_fn = build_discrimination_loss(self.model, self.loss,
                                                            self.log_para)
             self.state = create_train_state(
-                self.model, jax.random.PRNGKey(cfg.seed), sample, self.tx
+                self.model, jax.random.PRNGKey(cfg.seed), sample, self.tx,
+                ema_decay=self.ema_decay
             )
             # 'nocon' ablation: zero the final-mode consistency weight
             con_weight = 0.0 if cfg.extra.get("no_consistency") else 10.0
@@ -364,7 +377,11 @@ class DGTrainer:
                 model_params=cfg.model.get("params", {}))
             self.state = self.state.replace(
                 params=variables["params"],
-                batch_stats=variables["batch_stats"])
+                batch_stats=variables["batch_stats"],
+                # jnp.copy: an aliased seed would be donated twice by
+                # the train step (donate_argnums)
+                ema_params=(jax.tree.map(jnp.copy, variables["params"])
+                            if self.state.ema_params is not None else None))
             self.log(f"Loaded pretrained backbone: {desc}")
 
         def apply_fn(variables, tiles):
@@ -426,7 +443,14 @@ class DGTrainer:
         self._built = True
 
     def _variables(self):
-        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        """Eval/export weights: the EMA shadow when `ema:` is on (the
+        point of keeping an average is to evaluate it), raw params
+        otherwise. Batch stats are shared — the running stats are
+        already an exponential average."""
+        p = self.state.params
+        if getattr(self.state, "ema_params", None) is not None:
+            p = self.state.ema_params
+        return {"params": p, "batch_stats": self.state.batch_stats}
 
     def load_ckpt(self, path, strict: bool = False):
         """Accepts a single path or a [gen_ckpt, reg_ckpt] 2-list
@@ -517,8 +541,14 @@ class DGTrainer:
         variables = load_reference_checkpoint(
             {"params": unfreeze(state.params),
              "batch_stats": unfreeze(state.batch_stats)}, sd, model)
-        return state.replace(params=variables["params"],
-                             batch_stats=variables["batch_stats"])
+        return state.replace(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            # re-seed the EMA shadow (a copy — aliased buffers would be
+            # donated twice): averaging from random init toward migrated
+            # weights would poison early evals
+            ema_params=(jax.tree.map(jnp.copy, variables["params"])
+                        if state.ema_params is not None else None))
 
     def _ckpt_extra(self, epoch, best):
         extra = {"epoch": epoch, "best": best}
@@ -1003,7 +1033,9 @@ class DGTrainer:
         os.makedirs(gen_dir, exist_ok=True)
         model = self.gen_model if self.joint else self.model
         state = self.gen_state if self.joint else self.state
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params = (state.ema_params if getattr(state, "ema_params", None)
+                  is not None else state.params)
+        variables = {"params": params, "batch_stats": state.batch_stats}
 
         if not hasattr(self, "_gen_fn"):
             @jax.jit
