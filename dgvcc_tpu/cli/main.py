@@ -311,6 +311,13 @@ def run(config_path: str, task: str, frames: str = None, batch: int = 4,
         # command-line override of the config's `checkpoint:` key
         # (resume/eval without editing the YAML; used by scripts/launch.py)
         cfg.checkpoint = parse_ckpt_override(ckpt)
+    if task in ("serve", "quantize", "aot") and isinstance(
+            cfg.checkpoint, (list, tuple)):
+        # the [gen, reg] pair form is a trainer concept (joint mode);
+        # letting it through would crash deep in from_checkpoint
+        raise SystemExit(
+            f"--task {task} takes a single checkpoint path; for a joint "
+            "run pass the counting regressor's checkpoint (the _reg one)")
     # honor the config's device key (reference uses cuda:N; here 'cpu'
     # forces the CPU backend — useful for debugging — anything else uses
     # the default platform, i.e. the TPU)

@@ -25,9 +25,11 @@ TPU-specific extensions (all optional, defaulted):
                    disk writes to a background thread (snapshot-on-device
                    keeps them exact under buffer donation; flushed at
                    train/test end and on preemption)
-    ema:           float in (0, 1)           — Polyak/EMA shadow weights
-                   (decay per step, updated inside the fused train step;
-                   with accum_steps the shadow updates every micro-step).
+    ema:           float in (0, 1)           — Polyak/EMA shadow weights,
+                   decay per OPTIMIZER UPDATE (under accum_steps the
+                   per-micro-step decay is ema^(1/k), which composes to
+                   exactly ema per applied update — the averaging
+                   horizon is independent of accumulation).
                    validate/test/vis/export and `--task serve` on the
                    checkpoint all use the averaged weights; checkpoints
                    carry them (`ema_params`), and resuming a pre-EMA

@@ -10,21 +10,25 @@ stdlib round-robin proxy:
         --replicas 4 --devices 0,1,2,3 --aot model.aot
 
 Each replica is the ordinary CLI serving endpoint (`--task serve
---http`) pinned to its chip via TPU_VISIBLE_CHIPS (the launcher's
-per-experiment pinning, scripts/launch.py::build_env); deploy inputs
-(--aot / --artifact / config checkpoint) pass straight through, so the
-fleet composes with every artifact kind. The proxy:
+--http`) pinned to its chip via TPU_VISIBLE_CHIPS (the shared pinning
+helper, utils/devices.py); deploy inputs (--aot / --artifact / config
+checkpoint) pass straight through, so the fleet composes with every
+artifact kind. The proxy:
 
 - POST /count       → next healthy replica, round-robin; a dead replica
-                      fails over to the next one mid-request.
+                      fails over to the next one mid-request. Replica
+                      HTTP errors (bad image, unexported AOT shape)
+                      pass through body-and-code intact.
 - GET  /healthz     → aggregate ({"status": ok|degraded|down}, per-
                       replica detail).
-- GET  /stats       → counters summed across replicas + per-replica list.
+- GET  /stats       → monotonic counters summed across replicas (dead /
+                      respawned replicas keep contributing their last-
+                      seen totals) + per-replica list.
 - health loop       → background probe every --probe-s seconds marks
                       replicas in/out of rotation; with --restart, dead
-                      replica *processes* are respawned (failure
-                      recovery for serving, matching the trainer's
-                      preemption-safe story).
+                      replica *processes* are respawned on a fresh port
+                      (failure recovery for serving, matching the
+                      trainer's preemption-safe story).
 
 Reference analog: none — the reference serves by running `--task test`
 manually per GPU (trainers/trainer.py:90-103). Beyond-reference.
@@ -34,7 +38,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import socket
 import subprocess
 import sys
@@ -43,38 +46,63 @@ import time
 import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional
+from typing import Callable, List, Optional
+
+from dgvcc_tpu.utils.devices import chip_env
+
+_STAT_KEYS = ("frames", "batches", "device_s")
 
 
 def _free_port() -> int:
+    # NOTE: classic TOCTOU — the port is released before the replica
+    # binds it. A conflict makes that replica exit at startup; with
+    # --restart it respawns on a NEW port (see _health_loop), so a
+    # collision costs one restart, not a livelock.
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def _replica_env(device: Optional[str]) -> dict:
-    env = dict(os.environ)
-    if device is not None:
-        # one chip per replica (scripts/launch.py::build_env semantics)
-        env["TPU_VISIBLE_CHIPS"] = device
-        env["TPU_PROCESS_BOUNDS"] = "1,1,1"
-        env["CUDA_VISIBLE_DEVICES"] = device
-    return env
+class _ReplicaHTTPError(Exception):
+    """A replica answered with an HTTP error — that's the client's
+    answer (bad image, unexported shape), carried through verbatim."""
+
+    def __init__(self, code: int, payload: dict):
+        super().__init__(f"replica HTTP {code}")
+        self.code = code
+        self.payload = payload
 
 
 class Replica:
     """One serving subprocess + its rotation state."""
 
-    def __init__(self, cmd: List[str], env: dict, port: int):
-        self.cmd = cmd
+    def __init__(self, make_cmd: Callable[[int], List[str]], env: dict,
+                 port: int):
+        self.make_cmd = make_cmd
         self.env = env
         self.port = port
         self.proc: Optional[subprocess.Popen] = None
         self.healthy = False
         self.restarts = 0
+        self.next_restart_t = 0.0  # monotonic gate (exponential backoff)
+        # monotonic /stats support: totals already credited from prior
+        # incarnations + the last totals seen from the live process
+        self.retired = dict.fromkeys(_STAT_KEYS, 0)
+        self.last_stats = dict.fromkeys(_STAT_KEYS, 0)
 
     def start(self):
-        self.proc = subprocess.Popen(self.cmd, env=self.env)
+        self.proc = subprocess.Popen(self.make_cmd(self.port), env=self.env)
+
+    def respawn(self):
+        """Fold the dead incarnation's counters into the retired base,
+        move to a fresh port (the old one may be what killed it), and
+        start a new process."""
+        for k in _STAT_KEYS:
+            self.retired[k] += self.last_stats[k]
+            self.last_stats[k] = 0
+        self.restarts += 1
+        self.port = _free_port()
+        self.start()
 
     def alive(self) -> bool:
         return self.proc is not None and self.proc.poll() is None
@@ -122,10 +150,9 @@ class FleetServer:
         self._rr = 0
         self._rr_lock = threading.Lock()
         self._stopping = False
+        self._serving = False
 
-        self.replicas = []
-        for i in range(replicas):
-            rport = _free_port()
+        def make_cmd(rport: int) -> List[str]:
             cmd = [sys.executable, "-m", "dgvcc_tpu.cli.main",
                    "--config", config, "--task", "serve",
                    "--http", str(rport), "--batch", str(batch)]
@@ -139,8 +166,13 @@ class FleetServer:
                 cmd += ["--quantize"]
             if frames_dir:
                 cmd += ["--frames", frames_dir]
-            self.replicas.append(Replica(
-                cmd, _replica_env(devices[i] if devices else None), rport))
+            return cmd
+
+        self.replicas = [
+            Replica(make_cmd, chip_env(devices[i] if devices else None),
+                    _free_port())
+            for i in range(replicas)
+        ]
 
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self._httpd.daemon_threads = True
@@ -153,26 +185,37 @@ class FleetServer:
 
     # -- lifecycle -----------------------------------------------------
 
+    def _spawn_and_wait(self, ready_timeout: float):
+        """Spawn every replica and wait for one to serve; on ANY
+        failure, stop them all — a readiness timeout must not leak N
+        chip-holding orphan processes."""
+        try:
+            for rep in self.replicas:
+                rep.start()
+            self._wait_ready(ready_timeout)
+            self._health_thread.start()
+        except BaseException:
+            for rep in self.replicas:
+                rep.stop()
+            self._httpd.server_close()
+            raise
+
     def start(self, ready_timeout: float = 300.0) -> threading.Thread:
         """Spawn replicas, wait until at least one is serving, then
         serve the proxy on a daemon thread (tests, embedding)."""
-        for rep in self.replicas:
-            rep.start()
-        self._wait_ready(ready_timeout)
-        self._health_thread.start()
+        self._spawn_and_wait(ready_timeout)
+        self._serving = True
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return t
 
     def serve_forever(self, ready_timeout: float = 300.0):
-        for rep in self.replicas:
-            rep.start()
-        self._wait_ready(ready_timeout)
-        self._health_thread.start()
+        self._spawn_and_wait(ready_timeout)
         n_up = sum(r.healthy for r in self.replicas)
         print(f"[fleet] {n_up}/{len(self.replicas)} replicas up; "
               f"proxy on :{self.port}", flush=True)
         try:
+            self._serving = True
             self._httpd.serve_forever()
         finally:
             self.shutdown()
@@ -192,8 +235,17 @@ class FleetServer:
 
     def shutdown(self):
         self._stopping = True
-        self._httpd.shutdown()
+        if self._serving:
+            # only valid while serve_forever runs — BaseServer.shutdown
+            # on a never-served server waits on an event that's never set
+            self._serving = False
+            self._httpd.shutdown()
         self._httpd.server_close()
+        # join the health loop BEFORE stopping replicas — otherwise a
+        # --restart loop mid-iteration could respawn a replica we just
+        # terminated, leaving an orphan process after the fleet exits
+        if self._health_thread.is_alive():
+            self._health_thread.join(timeout=self.probe_s + 10.0)
         for rep in self.replicas:
             rep.stop()
 
@@ -205,12 +257,22 @@ class FleetServer:
                 if self._stopping:
                     return
                 rep.probe()
-                if self.restart and not rep.alive():
-                    rep.restarts += 1
-                    print(f"[fleet] replica :{rep.port} died — "
-                          f"restart #{rep.restarts}", flush=True)
-                    rep.start()
-            time.sleep(self.probe_s)
+                if (self.restart and not rep.alive()
+                        and not self._stopping
+                        and time.monotonic() >= rep.next_restart_t):
+                    old = rep.port
+                    rep.respawn()
+                    # exponential backoff (cap 60 s): a permanently-
+                    # broken replica must not turn into a restart storm
+                    rep.next_restart_t = time.monotonic() + min(
+                        60.0, self.probe_s * (2 ** min(rep.restarts, 10)))
+                    print(f"[fleet] replica :{old} died — restart "
+                          f"#{rep.restarts} on :{rep.port}", flush=True)
+            # nap in small slices so shutdown() doesn't block on a full
+            # probe interval
+            deadline = time.monotonic() + self.probe_s
+            while not self._stopping and time.monotonic() < deadline:
+                time.sleep(0.1)
 
     # -- routing -------------------------------------------------------
 
@@ -237,10 +299,14 @@ class FleetServer:
                         req, timeout=self.request_timeout) as r:
                     return json.load(r)
             except urllib.error.HTTPError as e:
-                # the replica is alive and rejected the request (bad
-                # image, unexported shape) — that's the client's answer,
-                # not a failover condition
-                raise
+                # the replica is alive and rejected the request — relay
+                # its own JSON error (e.g. the AOT shape inventory), not
+                # a bare reason phrase
+                try:
+                    payload = json.load(e)
+                except Exception:
+                    payload = {"error": e.reason}
+                raise _ReplicaHTTPError(e.code, payload) from e
             except Exception as e:  # connection refused / reset / timeout
                 rep.healthy = False
                 last_err = e
@@ -256,18 +322,25 @@ class FleetServer:
         return {"status": status, "replicas": detail}
 
     def _aggregate_stats(self) -> dict:
+        """Fleet totals are MONOTONIC: each replica contributes its
+        retired-incarnation base plus the freshest totals seen from the
+        live process (kept when it dies), so a crash or respawn never
+        makes the aggregate counters go backwards."""
         per = []
-        total = {"frames": 0, "batches": 0, "device_s": 0.0}
+        total = dict.fromkeys(_STAT_KEYS, 0)
         for rep in self.replicas:
-            if not rep.healthy:
-                continue
-            try:
-                s = rep.get("/stats")
-            except Exception:
-                continue
-            per.append({"port": rep.port, **s})
-            for k in total:
-                total[k] += s.get(k, 0)
+            live = None
+            if rep.healthy:
+                try:
+                    live = rep.get("/stats")
+                except Exception:
+                    pass
+            if live is not None:
+                for k in _STAT_KEYS:
+                    rep.last_stats[k] = live.get(k, 0)
+                per.append({"port": rep.port, **live})
+            for k in _STAT_KEYS:
+                total[k] += rep.retired[k] + rep.last_stats[k]
         total["replicas"] = per
         return total
 
@@ -305,8 +378,8 @@ class FleetServer:
                 body = self.rfile.read(n)
                 try:
                     self._json(200, fleet._proxy_count(body))
-                except urllib.error.HTTPError as e:
-                    self._json(e.code, {"error": e.reason})
+                except _ReplicaHTTPError as e:
+                    self._json(e.code, e.payload)
                 except ConnectionError as e:
                     self._json(503, {"error": str(e)})
 

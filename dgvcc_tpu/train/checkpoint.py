@@ -46,6 +46,22 @@ def _write_payload(path: str, sd: Dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
+def _write_pair(path_a: str, sd_a: Dict[str, Any],
+                path_b: str, sd_b: Dict[str, Any]) -> None:
+    """Near-atomic two-file write: BOTH payloads are fully staged to
+    .tmp files before either rename, so a crash anywhere during the
+    (seconds-long) serialization leaves the previous complete pair
+    untouched — the mixed-pair window shrinks to the gap between two
+    rename syscalls."""
+    for p, sd in ((path_a, sd_a), (path_b, sd_b)):
+        payload = serialization.msgpack_serialize(
+            jax.tree.map(np.asarray, sd))
+        with open(p + ".tmp", "wb") as f:
+            f.write(payload)
+    os.replace(path_a + ".tmp", path_a)
+    os.replace(path_b + ".tmp", path_b)
+
+
 def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
     _write_payload(path, _to_state_dict(state, extra))
 
@@ -213,27 +229,38 @@ class CheckpointRotator:
         self.suffix = suffix
         self.writer = writer  # None → synchronous saves (the default)
 
-    def _purge(self, pattern: str):
+    def _purge(self, pattern: str, keep=frozenset()):
         for old in glob(os.path.join(self.log_dir, pattern + self.suffix)):
-            os.remove(old)
+            if old not in keep:
+                os.remove(old)
 
-    def _save(self, fname: str, state, extra, purge: Optional[str] = None):
-        """One save, optionally preceded by a rotation purge. Sync mode
-        writes inline; async mode snapshots the device state NOW (one
-        jitted copy — immune to the next step's buffer donation) and
-        defers purge+readback+write to the writer thread, in order."""
+    def _save(self, fname: str, state, extra, purge: Optional[str] = None,
+              keep=()):
+        """One save; the rotation purge (``purge`` glob stem, minus
+        ``keep`` stems and the file just written) runs AFTER the write —
+        purge-first would open a crash window where the previous rolling
+        checkpoint is already deleted and the new one not yet written,
+        which for the *_gen/*_reg pairs means a SIGKILL there loses the
+        only resumable state (the single-file case is safe regardless:
+        os.replace overwrites atomically). A crash between write and
+        purge merely leaves a stale extra file. Sync mode writes inline;
+        async mode snapshots the device state NOW (one jitted copy —
+        immune to the next step's buffer donation) and defers
+        readback+write+purge to the writer thread, in order."""
         path = os.path.join(self.log_dir, fname + self.suffix)
+        keep = {os.path.join(self.log_dir, k + self.suffix)
+                for k in keep} | {path}
         if self.writer is None:
-            if purge:
-                self._purge(purge)
             save_checkpoint(path, state, extra)
+            if purge:
+                self._purge(purge, keep)
             return
         sd = snapshot_state_dict(_to_state_dict(state, extra))
 
         def job():
-            if purge:
-                self._purge(purge)
             _write_payload(path, sd)
+            if purge:
+                self._purge(purge, keep)
 
         self.writer.submit(job)
 
@@ -252,16 +279,39 @@ class CheckpointRotator:
     def save_test(self, state, mae: float, extra=None):
         self._save(f"test_{mae}", state, extra)
 
+    def _save_pair(self, fname_g: str, fname_r: str, gen_state, reg_state,
+                   extra, purge: str):
+        """Paired save through :func:`_write_pair` (both payloads staged
+        before either rename — a crash mid-save leaves the previous
+        complete pair, never a mixed-epoch gen/reg), then the rotation
+        purge."""
+        pg = os.path.join(self.log_dir, fname_g + self.suffix)
+        pr = os.path.join(self.log_dir, fname_r + self.suffix)
+        keep = {pg, pr}
+        if self.writer is None:
+            _write_pair(pg, _to_state_dict(gen_state, extra),
+                        pr, _to_state_dict(reg_state, extra))
+            self._purge(purge, keep)
+            return
+        sd_g = snapshot_state_dict(_to_state_dict(gen_state, extra))
+        sd_r = snapshot_state_dict(_to_state_dict(reg_state, extra))
+
+        def job():
+            _write_pair(pg, sd_g, pr, sd_r)
+            self._purge(purge, keep)
+
+        self.writer.submit(job)
+
     def save_last_pair(self, gen_state, reg_state, extra=None):
         """Rolling last for (gen, reg) pairs — *_gen/*_reg naming parity
         with the reference (dgtrainer.py:43-48)."""
-        self._save("last_gen", gen_state, extra, purge="last*")
-        self._save("last_reg", reg_state, extra)
+        self._save_pair("last_gen", "last_reg", gen_state, reg_state,
+                        extra, purge="last*")
 
     def save_best_pair(self, gen_state, reg_state, epoch, criterion, extra=None):
         stem = f"best_{epoch}_{criterion:.4f}"
-        self._save(stem + "_gen", gen_state, extra, purge="best*")
-        self._save(stem + "_reg", reg_state, extra)
+        self._save_pair(stem + "_gen", stem + "_reg", gen_state, reg_state,
+                        extra, purge="best*")
 
     def latest(self) -> Optional[str]:
         cands = glob(os.path.join(self.log_dir, "last" + self.suffix))

@@ -239,14 +239,20 @@ class DGTrainer:
         self.scheduler = build_scheduler(cfg.scheduler, base_lr)
         # `ema: 0.999` — Polyak-averaged shadow weights, updated inside
         # the fused train step; validate/test/vis/export all evaluate
-        # the average (train/state.py). Beyond-reference.
+        # the average (train/state.py). Beyond-reference. The configured
+        # decay is PER OPTIMIZER UPDATE: under gradient accumulation the
+        # shadow still updates every micro-step (params are constant
+        # while accumulating, so k micro-decays of d^(1/k) toward the
+        # same params compose to exactly one decay of d) — without the
+        # root, `ema: 0.999, accum_steps: 8` would silently mean an 8x
+        # shorter averaging horizon than the same config un-accumulated.
         ema = float(cfg.extra.get("ema", 0) or 0)
         if ema and not 0.0 < ema < 1.0:
             raise ValueError(f"ema must be in (0, 1); got {ema}")
-        self.ema_decay = ema
+        self.ema_decay = ema ** (1.0 / accum) if ema else 0.0
         if ema:
-            self.log(f"EMA enabled: decay {ema} (eval/export use the "
-                     "averaged weights)")
+            self.log(f"EMA enabled: decay {ema} per optimizer update "
+                     "(eval/export use the averaged weights)")
 
         crop = 64
         if cfg.train_dataset is not None:

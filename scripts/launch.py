@@ -33,16 +33,8 @@ import subprocess
 import sys
 import time
 
-
-def build_env(device: str | None) -> dict:
-    env = dict(os.environ)
-    if device is not None:
-        # TPU processes claim every local chip by default; restrict each
-        # worker to its slice (the TPU equivalent of CUDA_VISIBLE_DEVICES)
-        env["TPU_VISIBLE_CHIPS"] = device
-        env["TPU_PROCESS_BOUNDS"] = "1,1,1"
-        env["CUDA_VISIBLE_DEVICES"] = device  # harmless on TPU; covers GPU hosts
-    return env
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dgvcc_tpu.utils.devices import chip_env as build_env  # noqa: E402
 
 
 def resume_ckpt(cfg_path: str) -> str | None:

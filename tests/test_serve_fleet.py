@@ -139,3 +139,88 @@ def test_fleet_validates_device_count(tmp_path):
 
     with pytest.raises(ValueError, match="--devices"):
         FleetServer("cfg.yml", replicas=2, devices=["0"], port=0)
+
+
+def test_fleet_stats_monotonic_across_death_and_respawn():
+    """Aggregate /stats never goes backwards: a dead replica keeps
+    contributing its last-seen totals, and a respawn folds them into
+    the retired base before the fresh process restarts from zero."""
+    from dgvcc_tpu.serve_fleet import FleetServer
+
+    fleet = FleetServer("cfg.yml", replicas=2, port=0)
+    try:
+        a, b = fleet.replicas
+        a.last_stats = {"frames": 10, "batches": 5, "device_s": 1.0}
+        b.last_stats = {"frames": 4, "batches": 2, "device_s": 0.5}
+        # neither is healthy (no live processes) — totals come from the
+        # last-seen values, NOT zero
+        total = fleet._aggregate_stats()
+        assert total["frames"] == 14 and total["batches"] == 7
+        assert total["replicas"] == []  # no live detail, totals intact
+
+        # respawn folds the dead incarnation into the retired base
+        a.make_cmd = lambda port: ["sleep", "5"]
+        old_port = a.port
+        a.respawn()
+        try:
+            assert a.retired["frames"] == 10
+            assert a.last_stats["frames"] == 0
+            assert a.port != old_port
+            assert a.restarts == 1
+            assert fleet._aggregate_stats()["frames"] == 14  # monotonic
+        finally:
+            a.stop()
+    finally:
+        fleet._httpd.server_close()
+
+
+def test_fleet_shutdown_before_serving_does_not_hang():
+    """shutdown() on a fleet whose proxy never started serving must
+    return (BaseServer.shutdown would otherwise wait forever) and must
+    not raise — the startup-failure cleanup path relies on it."""
+    import threading
+
+    from dgvcc_tpu.serve_fleet import FleetServer
+
+    fleet = FleetServer("cfg.yml", replicas=1, port=0)
+    done = threading.Event()
+
+    def run():
+        fleet.shutdown()
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert done.wait(timeout=10), "shutdown() hung on a never-served fleet"
+
+
+def test_fleet_startup_failure_stops_replicas(tmp_path):
+    """A replica command that exits immediately must fail _wait_ready
+    with the exit codes AND leave no live child processes behind."""
+    from dgvcc_tpu.serve_fleet import FleetServer
+
+    fleet = FleetServer(str(tmp_path / "missing.yml"), replicas=2, port=0)
+    # missing config -> the CLI exits at startup on both replicas
+    with pytest.raises(RuntimeError, match="exited before becoming ready"):
+        fleet.start(ready_timeout=60)
+    assert all(not rep.alive() for rep in fleet.replicas)
+
+
+def test_cli_rejects_pair_ckpt_for_serve_tasks(tmp_path):
+    """--task serve/quantize/aot take one checkpoint path; the joint
+    [gen, reg] comma form must error clearly instead of crashing deep
+    in from_checkpoint."""
+    import yaml as _yaml
+
+    from dgvcc_tpu.cli.main import run
+
+    cfg = {"version": "pair_serve", "device": "cpu",
+           "model": {"name": "mcnn", "params": {}},
+           "loss": {"name": "mse", "params": {}},
+           "optimizer": {"name": "adam", "params": {"lr": 1e-3}},
+           "mode": "simple", "num_epochs": 1,
+           "log_dir": str(tmp_path / "logs")}
+    p = tmp_path / "c.yml"
+    p.write_text(_yaml.safe_dump(cfg))
+    with pytest.raises(SystemExit, match="single checkpoint"):
+        run(str(p), "serve", ckpt="a_gen.ckpt,a_reg.ckpt")
