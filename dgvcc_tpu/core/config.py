@@ -25,6 +25,14 @@ TPU-specific extensions (all optional, defaulted):
                    disk writes to a background thread (snapshot-on-device
                    keeps them exact under buffer donation; flushed at
                    train/test end and on preemption)
+    early_stop:    int                       — stop training after N
+                   consecutive epochs without val-criterion improvement
+                   (0/absent = run every configured epoch, like the
+                   reference); resume-aware (best epoch restores from
+                   the checkpoint extra)
+    test_report:   bool | path               — per-image CSV from the
+                   test task (name, gt, pred, abs_err; worst-first)
+                   at {log_dir}/test_report.csv or the given path
     ema:           float in (0, 1)           — Polyak/EMA shadow weights,
                    decay per OPTIMIZER UPDATE (under accum_steps the
                    per-micro-step decay is ema^(1/k), which composes to

@@ -777,6 +777,20 @@ class DGTrainer:
         self._last_val_extra = dict(extra.avg)
         return crit.avg
 
+    def _early_stop(self, epoch: int, best_epoch: int,
+                    best_criterion: float) -> bool:
+        """`early_stop: N` — stop when the val criterion hasn't improved
+        for N consecutive epochs (beyond-reference; the reference always
+        runs every configured epoch). Works under resume: best_epoch is
+        restored from the checkpoint extra."""
+        patience = int(self.cfg.extra.get("early_stop", 0) or 0)
+        if patience and epoch - best_epoch >= patience:
+            self.log(f"Early stopping at epoch {epoch}: no val "
+                     f"improvement for {patience} epochs "
+                     f"(best {best_criterion:.4f} at epoch {best_epoch})")
+            return True
+        return False
+
     def _resume_point(self):
         """(start_epoch, best_criterion, best_epoch) after a ckpt load."""
         r = getattr(self, "_resume", None)
@@ -801,6 +815,8 @@ class DGTrainer:
                     if self._preempted:
                         self.log(f"Preemption: stopped after epoch {epoch}; "
                                  "resume from last.ckpt")
+                        break
+                    if self._early_stop(epoch, best_epoch, best_criterion):
                         break
         finally:
             # deferred saves must hit disk even when the epoch loop
@@ -904,11 +920,31 @@ class DGTrainer:
             self.validate(-1, 1e10)
             self.log(f"End testing at {get_current_datetime()}")
             return {}
-        for sample in self._progress(sample_iter, "Testing..."):
+        rows = []
+        for i, sample in enumerate(self._progress(sample_iter, "Testing...")):
             pred = counter.count(variables, sample["img1"])
             gt_count = float(len(sample["gt"]))
             meter.update({"mae": abs(pred - gt_count),
                           "mse": (pred - gt_count) ** 2})
+            rows.append((str(sample.get("name", i)), gt_count, float(pred)))
+        if self.cfg.extra.get("test_report"):
+            # `test_report: true` — per-image CSV (name, gt, pred, error)
+            # worst-first, for error analysis beyond the aggregate MAE/MSE
+            # line (the reference only ever logs the aggregate,
+            # trainer.py:148-153). A string value names the output file.
+            tr = self.cfg.extra["test_report"]
+            path = (os.path.join(self.log_dir, "test_report.csv")
+                    if tr is True else str(tr))
+            import csv
+
+            with open(path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["name", "gt_count", "pred_count", "abs_err"])
+                for name, gt, pred in sorted(
+                        rows, key=lambda r: -abs(r[2] - r[1])):
+                    w.writerow([name, f"{gt:.1f}", f"{pred:.3f}",
+                                f"{abs(pred - gt):.3f}"])
+            self.log(f"Per-image test report: {path} ({len(rows)} rows)")
         self.log("Testing results:", end=" ")
         for k, v in meter.avg.items():
             self.log(f"{k}: {v:.4f}", end=" ")
@@ -958,6 +994,8 @@ class DGTrainer:
             best_criterion, best_epoch = self.train_epoch(epoch, best_criterion, best_epoch)
             if every_epoch or best_criterion < prev:
                 self.test()
+            if self._early_stop(epoch, best_epoch, best_criterion):
+                break
         self.log(f"Best epoch: {best_epoch}, best criterion: {best_criterion}")
         self.log(f"Training results saved to {self.log_dir}")
         self.log(f"End training and testing at {get_current_datetime()}")

@@ -339,6 +339,60 @@ def test_launcher_resume_ckpt_discovery(tmp_path):
     assert parse_ckpt_override("single.ckpt") == "single.ckpt"
 
 
+def test_early_stop_halts_on_plateau(tmp_path, synth_root):
+    """`early_stop: N` ends training once the val criterion stalls for
+    N epochs (a scripted criterion sequence makes the plateau exact —
+    real val numbers jitter with BN running stats)."""
+    import yaml as _yaml
+
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, cfg = make_config(tmp_path, synth_root)
+    d = _yaml.safe_load(open(cfg_path))
+    d.update(version="earlystop", num_epochs=20, early_stop=2)
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    t = DGTrainer(load_config(cfg_path))
+    t.build()
+    crits = iter([5.0, 5.0, 5.0, 5.0, 5.0, 5.0])  # improve once, stall
+    t.validate = lambda epoch, best: next(crits)
+    t.train()
+    log = open(os.path.join(t.log_dir, "log.txt")).read()
+    # epoch 0 improves (5.0 < 1e10, best_epoch=0), epochs 1-2 stall
+    assert "Early stopping at epoch 2" in log
+    assert log.count("Training loss") == 3  # 20 configured, 3 run
+
+
+def test_test_report_csv(tmp_path, synth_root):
+    """`test_report: true` writes a worst-first per-image CSV whose
+    aggregate matches the logged MAE."""
+    import csv
+
+    import yaml as _yaml
+
+    from dgvcc_tpu.core.config import load_config
+    from dgvcc_tpu.train.trainer import DGTrainer
+
+    cfg_path, cfg = make_config(tmp_path, synth_root)
+    d = _yaml.safe_load(open(cfg_path))
+    d.update(version="testreport", test_report=True)
+    open(cfg_path, "w").write(_yaml.safe_dump(d))
+    t = DGTrainer(load_config(cfg_path))
+    t.build()
+    metrics = t.test()
+
+    path = os.path.join(t.log_dir, "test_report.csv")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2  # synth test split size
+    errs = [float(r["abs_err"]) for r in rows]
+    assert errs == sorted(errs, reverse=True)  # worst-first
+    assert np.mean(errs) == pytest.approx(metrics["mae"], rel=1e-6)
+    for r in rows:
+        assert float(r["abs_err"]) == pytest.approx(
+            abs(float(r["pred_count"]) - float(r["gt_count"])), abs=1e-3)
+
+
 def test_supervised_launch_recovers_from_crash(tmp_path, synth_root):
     """launch.py --supervise N: a training process SIGKILLed mid-run is
     restarted by the supervisor, resumes from its own last.ckpt, and
