@@ -155,6 +155,14 @@ class DGModel(nn.Module):
     # rather than per view (the reference runs per-view,
     # models.py:298-335). Everything else is bit-equivalent.
     batched_two_view: bool = False
+    # tiny test geometry: override the encoder conv plan / stage splits /
+    # decoder widths (defaults = the reference torchvision VGG16-BN
+    # splits, models.py:35-38). Used by the multi-chip dryrun and fast
+    # tests to keep compile + 1-core execution time bounded; production
+    # configs never set these.
+    vgg_cfg: Any = None
+    stage_splits: Any = (0, 23, 33, 43)
+    dec_widths: Any = ((1024, 512), (512, 256), (256, 128))
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -167,28 +175,32 @@ class DGModel(nn.Module):
             else VGGFeatures
         )
 
+        cfg = tuple(VGG16_CFG if self.vgg_cfg is None else self.vgg_cfg)
+        s0, s1, s2, s3 = self.stage_splits
+
         def stage(lo, hi):
-            return stage_cls(cfg=tuple(VGG16_CFG), batch_norm=True,
+            return stage_cls(cfg=cfg, batch_norm=True,
                              start=lo, stop=hi, dtype=self.dtype)
 
-        self.enc1 = stage(0, 23)
-        self.enc2 = stage(23, 33)
-        self.enc3 = stage(33, 43)
+        self.enc1 = stage(s0, s1)
+        self.enc2 = stage(s1, s2)
+        self.enc3 = stage(s2, s3)
 
+        (w3a, w3b), (w2a, w2b), (w1a, w1b) = self.dec_widths
         self.dec3 = [
-            ConvBlock(1024, bn=True, dtype=self.dtype),
-            ConvBlock(512, bn=True, dtype=self.dtype),
+            ConvBlock(w3a, bn=True, dtype=self.dtype),
+            ConvBlock(w3b, bn=True, dtype=self.dtype),
         ]
         self.dec2 = [
-            ConvBlock(512, bn=True, dtype=self.dtype),
-            ConvBlock(256, bn=True, dtype=self.dtype),
+            ConvBlock(w2a, bn=True, dtype=self.dtype),
+            ConvBlock(w2b, bn=True, dtype=self.dtype),
         ]
         self.dec1 = [
-            ConvBlock(256, bn=True, dtype=self.dtype),
-            ConvBlock(128, bn=True, dtype=self.dtype),
+            ConvBlock(w1a, bn=True, dtype=self.dtype),
+            ConvBlock(w1b, bn=True, dtype=self.dtype),
         ]
 
-        den_ch = self.mem_dim if self.use_mem else 256
+        den_ch = self.mem_dim if self.use_mem else 2 * w1b
         self.den_dec = ConvBlock(den_ch, kernel_size=1, padding=0, bn=True, dtype=self.dtype)
         self.den_drop = Dropout2d(self.den_dropout)
         self.den_head = ConvBlock(1, kernel_size=1, padding=0, dtype=self.dtype)
@@ -198,7 +210,7 @@ class DGModel(nn.Module):
                                      fused=self.fused_mem,
                                      tp_axis=self.tp_axis, dtype=self.dtype)
         if self.use_cls:
-            self.cls_conv1 = ConvBlock(256, bn=True, dtype=self.dtype)
+            self.cls_conv1 = ConvBlock(w2b, bn=True, dtype=self.dtype)
             self.cls_drop = Dropout2d(self.cls_dropout)
             self.cls_conv2 = ConvBlock(1, kernel_size=1, padding=0, relu=False, dtype=self.dtype)
 
@@ -361,7 +373,7 @@ def _variant(name, **flags):
         for k in ("mem_size", "mem_dim", "den_dropout", "cls_dropout",
                   "cls_thrs", "err_thrs", "has_err_loss", "pretrained",
                   "fused_mem", "remat", "batched_two_view", "tp_axis",
-                  "dtype"):
+                  "vgg_cfg", "stage_splits", "dec_widths", "dtype"):
             if k in params:
                 kw[k] = params[k]
         return DGModel(**kw)

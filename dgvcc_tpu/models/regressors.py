@@ -57,11 +57,16 @@ class Generator(nn.Module):
     """VGG19[:26] encoder + tanh decoder (models2.py:29-56)."""
 
     pretrained: bool = True
+    # tiny test geometry (dryrun/fast tests): override encoder conv plan
+    # and its stop index; production configs never set these
+    vgg_cfg: Any = None
+    enc_stop: int = 26
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = vgg19_stage(0, 26, dtype=self.dtype, name="enc")(x, train=train)
+        y = vgg19_stage(0, self.enc_stop, dtype=self.dtype, name="enc",
+                        cfg=self.vgg_cfg)(x, train=train)
         for i, ch in enumerate((512, 256)):
             y = ConvBlock(ch, bn=True, dtype=self.dtype, name=f"dec{i}")(y, train=train)
         y = upsample(y, 2)
@@ -111,31 +116,40 @@ class _VGGUNet(nn.Module):
     optional per-stage instance norm (DensityRegressor, models2.py:150-155)."""
 
     stage_in: bool = False
+    # tiny test geometry knobs (see models/dg.py — same convention)
+    vgg_cfg: Any = None
+    stage_splits: Any = (0, 23, 33, 43)
+    dec_widths: Any = ((1024, 512), (512, 256), (256, 128))
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         t = train
-        x1 = vgg16bn_stage(0, 23, dtype=self.dtype, name="stage1")(x, train=t)
+        s0, s1, s2, s3 = self.stage_splits
+        (w3a, w3b), (w2a, w2b), (w1a, w1b) = self.dec_widths
+        x1 = vgg16bn_stage(s0, s1, dtype=self.dtype, name="stage1",
+                           cfg=self.vgg_cfg)(x, train=t)
         if self.stage_in:
             x1 = instance_norm(x1)
-        x2 = vgg16bn_stage(23, 33, dtype=self.dtype, name="stage2")(x1, train=t)
+        x2 = vgg16bn_stage(s1, s2, dtype=self.dtype, name="stage2",
+                           cfg=self.vgg_cfg)(x1, train=t)
         if self.stage_in:
             x2 = instance_norm(x2)
-        x3 = vgg16bn_stage(33, 43, dtype=self.dtype, name="stage3")(x2, train=t)
+        x3 = vgg16bn_stage(s2, s3, dtype=self.dtype, name="stage3",
+                           cfg=self.vgg_cfg)(x2, train=t)
         if self.stage_in:
             x3 = instance_norm(x3)
 
-        y = ConvBlock(1024, bn=True, dtype=self.dtype, name="dec3_0")(x3, train=t)
-        y = ConvBlock(512, bn=True, dtype=self.dtype, name="dec3_1")(y, train=t)
+        y = ConvBlock(w3a, bn=True, dtype=self.dtype, name="dec3_0")(x3, train=t)
+        y = ConvBlock(w3b, bn=True, dtype=self.dtype, name="dec3_1")(y, train=t)
         y3 = y
         y = jnp.concatenate([upsample(y, 2), x2], axis=-1)
-        y = ConvBlock(512, bn=True, dtype=self.dtype, name="dec2_0")(y, train=t)
-        y = ConvBlock(256, bn=True, dtype=self.dtype, name="dec2_1")(y, train=t)
+        y = ConvBlock(w2a, bn=True, dtype=self.dtype, name="dec2_0")(y, train=t)
+        y = ConvBlock(w2b, bn=True, dtype=self.dtype, name="dec2_1")(y, train=t)
         y2 = y
         y = jnp.concatenate([upsample(y, 2), x1], axis=-1)
-        y = ConvBlock(256, bn=True, dtype=self.dtype, name="dec1_0")(y, train=t)
-        y1 = ConvBlock(128, bn=True, dtype=self.dtype, name="dec1_1")(y, train=t)
+        y = ConvBlock(w1a, bn=True, dtype=self.dtype, name="dec1_0")(y, train=t)
+        y1 = ConvBlock(w1b, bn=True, dtype=self.dtype, name="dec1_1")(y, train=t)
 
         y_cat = jnp.concatenate([y1, upsample(y2, 2), upsample(y3, 4)], axis=-1)
         return y_cat, x3
@@ -249,16 +263,21 @@ class DensityRegressorM(nn.Module):
     part_num: int = 1024
     final_dim: int = 256
     fused_mem: bool = False  # Pallas attention on the inference path
+    # tiny test geometry knobs (see models/dg.py — same convention)
+    vgg_cfg: Any = None
+    stage_splits: Any = (0, 23, 33, 43)
+    dec_widths: Any = ((1024, 512), (512, 256), (256, 128))
     dtype: Any = jnp.float32
 
     def setup(self):
         d = self.dtype
-        self.fe = _VGGUNet(dtype=d)
+        self.fe = _VGGUNet(vgg_cfg=self.vgg_cfg, stage_splits=self.stage_splits,
+                           dec_widths=self.dec_widths, dtype=d)
         self.den_dec = ConvBlock(self.final_dim, kernel_size=1, padding=0, bn=True, dtype=d)
         self.memory = MemoryBank(self.part_num, self.final_dim,
                                  fused=self.fused_mem, dtype=d)
         self.den_head = ConvBlock(1, kernel_size=1, padding=0, dtype=d)
-        self.cls_conv1 = ConvBlock(256, bn=True, dtype=d)
+        self.cls_conv1 = ConvBlock(self.dec_widths[1][1], bn=True, dtype=d)
         self.cls_drop = Dropout2d(0.5)
         self.cls_conv2 = ConvBlock(1, kernel_size=1, padding=0, relu=False, dtype=d)
 

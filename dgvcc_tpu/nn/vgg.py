@@ -86,9 +86,16 @@ class VGGFeatures(nn.Module):
         return x
 
 
-def vgg16bn_stage(start: int, stop: int, dtype=jnp.float32, name=None) -> VGGFeatures:
-    return VGGFeatures(cfg=tuple(VGG16_CFG), batch_norm=True, start=start, stop=stop, dtype=dtype, name=name)
+def vgg16bn_stage(start: int, stop: int, dtype=jnp.float32, name=None,
+                  cfg=None) -> VGGFeatures:
+    """``cfg``: override the conv plan (tiny test geometries — the
+    multi-chip dryrun and fast tests shrink the encoder this way;
+    start/stop then index the OVERRIDE's layout, not torchvision's)."""
+    return VGGFeatures(cfg=tuple(VGG16_CFG if cfg is None else cfg),
+                       batch_norm=True, start=start, stop=stop, dtype=dtype, name=name)
 
 
-def vgg19_stage(start: int, stop: int, batch_norm: bool = False, dtype=jnp.float32, name=None) -> VGGFeatures:
-    return VGGFeatures(cfg=tuple(VGG19_CFG), batch_norm=batch_norm, start=start, stop=stop, dtype=dtype, name=name)
+def vgg19_stage(start: int, stop: int, batch_norm: bool = False, dtype=jnp.float32,
+                name=None, cfg=None) -> VGGFeatures:
+    return VGGFeatures(cfg=tuple(VGG19_CFG if cfg is None else cfg),
+                       batch_norm=batch_norm, start=start, stop=stop, dtype=dtype, name=name)
