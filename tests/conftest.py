@@ -124,6 +124,8 @@ HEAVY = (
     "test_serve_fleet.py::test_fleet_restart_respawns_dead_replica",
     # supervised-launch crash recovery: two subprocess train runs
     "test_e2e.py::test_supervised_launch_recovers_from_crash",
+    # true 2-process jax.distributed world (two subprocess JAX inits)
+    "test_multihost.py::test_two_process_dp_step",
     # int8 artifact round-trips on the full DG / dssinet graphs
     "test_aot.py::test_aot_quantized_dg_roundtrip",
     "test_quant_io.py::test_dg_artifact_roundtrip",
