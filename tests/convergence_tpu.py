@@ -79,11 +79,16 @@ MODE_SPECS = {
 }
 
 
-def run_mode(mode: str, root: str, epochs: int, lr=None):
+def run_mode(mode: str, root: str, epochs: int, lr=None,
+             model_params=None):
     from dgvcc_tpu.core.config import Config
     from dgvcc_tpu.train.trainer import DGTrainer
 
     spec = MODE_SPECS[mode]
+    if model_params:
+        spec = dict(spec, model={
+            "name": spec["model"]["name"],
+            "params": {**spec["model"]["params"], **model_params}})
     ds = {"name": spec["ds"], "params": {
         "root": root, "crop_size": 128, "downsample": 1,
         "is_grey": False, "unit_size": 16}}
@@ -195,6 +200,10 @@ def main():
     parser.add_argument("--quant-eval", action="store_true",
                         help="after training mode 'final', compare fp vs "
                              "int8 PTQ eval MAE on the val split")
+    parser.add_argument("--batched-two-view", action="store_true",
+                        help="mode 'final' with batched_two_view=True "
+                             "(union-BN two-view fusion) — for the "
+                             "on/off convergence A/B")
     args = parser.parse_args()
 
     if args.cpu:
@@ -212,8 +221,9 @@ def main():
         return
 
     modes = sorted(MODE_SPECS) if args.mode == "all" else [args.mode]
+    mp = {"batched_two_view": True} if args.batched_two_view else None
     for mode in modes:
-        run_mode(mode, root, args.epochs, lr=args.lr)
+        run_mode(mode, root, args.epochs, lr=args.lr, model_params=mp)
 
 
 if __name__ == "__main__":

@@ -161,3 +161,97 @@ def test_resize_bilinear_ac_matches_torch():
                           align_corners=True).numpy()
     np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)),
                                rtol=1e-5, atol=1e-5)
+
+
+TINY = dict(vgg_cfg=(8, "M", 8, "M", 16, "M", 16, "M"),
+            stage_splits=(0, 8, 12, 16),
+            dec_widths=((16, 16), (16, 16), (16, 8)),
+            mem_size=16, mem_dim=16)
+
+
+def test_batched_two_view_identical_views_match_unbatched():
+    """batched_two_view=True differs from False ONLY through BatchNorm's
+    train-mode statistics (union of the 2B batch vs per-view). With
+    img1 == img2 those statistics coincide, so the two paths must agree
+    to float reduction-order noise — dropout draws, masks, memory
+    attention, and heads are bit-equivalent by construction
+    (models/dg.py forward_train)."""
+    # cls_dropout off: the cls head draws ONE 2B dropout mask under the
+    # knob vs one mask per view without it — a genuine (documented)
+    # rng-stream difference, orthogonal to the BN semantics under test
+    kw = dict(TINY, pretrained=False, cls_dropout=0.0)
+    m_off = MODELS.build("final", batched_two_view=False, **kw)
+    m_on = MODELS.build("final", batched_two_view=True, **kw)
+    x0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    v = m_off.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x0)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, H, W, 3)).astype(np.float32))
+    c_gt = jnp.asarray((rng.uniform(size=(2, H // 16, W // 16, 1)) > 0.5)
+                       .astype(np.float32))
+    outs = []
+    for m in (m_off, m_on):
+        (dc1, dc2, c1, c2, c_err, l_con, l_err), mut = m.apply(
+            v, img, img, c_gt, method=m.forward_train,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+            mutable=["batch_stats"])
+        outs.append((dc1, dc2, c1, l_con, mut["batch_stats"]))
+    for a, b in zip(outs[0][:4], outs[1][:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    # running stats relate by the documented one-vs-two momentum
+    # updates per step: unbatched applies r <- m r + (1-m) s TWICE
+    # (once per view), batched ONCE over the union. With identical
+    # views s is the same, so from the init (mean 0, var 1):
+    #   mean: off = (1-m^2) s = (1+m) * on
+    #   var:  off - m^2 = (1+m) * (on - m)
+    m = 0.9  # TorchBatchNorm momentum (nn/layers.py)
+    pa = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+          jax.tree_util.tree_flatten_with_path(outs[0][4])[0]}
+    pb = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+          jax.tree_util.tree_flatten_with_path(outs[1][4])[0]}
+    assert pa.keys() == pb.keys() and pa
+    for k in pa:
+        if k.endswith("'mean']"):
+            np.testing.assert_allclose(pa[k], (1 + m) * pb[k],
+                                       rtol=1e-3, atol=1e-6)
+        elif k.endswith("'var']"):
+            # residual slack: torch-unbiased var stores s*n/(n-1) with
+            # n = elements per channel — n for per-view updates, 2n for
+            # the union update, a ~1/n relative factor (here n >= 32)
+            np.testing.assert_allclose(pa[k] - m**2, (1 + m) * (pb[k] - m),
+                                       rtol=4e-2, atol=1e-5)
+
+
+def test_batched_two_view_distinct_views_bounded_divergence():
+    """With img1 != img2 the union statistics genuinely differ from the
+    per-view ones (the documented BN-semantics change of the knob) —
+    outputs stay finite and close at moderate view divergence, and the
+    consistency loss remains comparable."""
+    kw = dict(TINY, pretrained=False, cls_dropout=0.0)
+    m_off = MODELS.build("final", batched_two_view=False, **kw)
+    m_on = MODELS.build("final", batched_two_view=True, **kw)
+    x0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    v = m_off.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x0)
+    rng = np.random.default_rng(1)
+    img1 = jnp.asarray(rng.normal(size=(2, H, W, 3)).astype(np.float32))
+    img2 = img1 + 0.1 * jnp.asarray(
+        rng.normal(size=(2, H, W, 3)).astype(np.float32))
+    c_gt = jnp.ones((2, H // 16, W // 16, 1), jnp.float32)
+    res = []
+    for m in (m_off, m_on):
+        (dc1, dc2, c1, c2, c_err, l_con, l_err), _ = m.apply(
+            v, img1, img2, c_gt, method=m.forward_train,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+            mutable=["batch_stats"])
+        assert bool(jnp.isfinite(dc1).all() and jnp.isfinite(l_con))
+        res.append((np.asarray(c1), float(l_con)))
+    # compare on CONTINUOUS quantities: the density outputs pass through
+    # binarized cls/error masks, which flip whole blocks on any BN-stat
+    # shift (same threshold chaos BENCH_NOTES documents for reduction-
+    # order noise) — the pre-threshold classifier probabilities and the
+    # consistency loss show the true size of the union-BN perturbation
+    assert np.abs(res[0][0] - res[1][0]).max() < 0.1
+    assert abs(res[0][1] - res[1][1]) <= 0.2 * max(res[0][1], 1e-8)
