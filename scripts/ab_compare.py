@@ -491,12 +491,186 @@ def ab_run_isw(epochs: int = 2, lr: float = 1e-4, seed: int = 0,
     return rows, mask_agreements
 
 
+def ab_run_full_recipe(epochs: int = 20, lr: float = 1e-3,
+                       weight_decay: float = 1e-4, seed: int = 0,
+                       mem_size: int = 64, mem_dim: int = 64,
+                       crop: int = 64, ema: float = 0.9):
+    """The SHIPPED-RECIPE convergence A/B (VERDICT r3 item 3): mode
+    'final' on two-view den_cls data with AdamW + per-epoch OneCycleLR —
+    the full configs/sta_final.yml stack — reference torch trainer
+    semantics (dgtrainer.py:183-190, trainer.py:82-87 per-epoch
+    scheduler.step, AdamW decoupled weight decay) vs dgvcc_tpu's
+    PRODUCTION components (build_train_step('final'), build_optimizer
+    adamw, build_scheduler onecycle, TrainState EMA shadow).
+
+    This is the arm that catches optax-vs-torch AdamW weight-decay
+    coupling and scheduler-step placement differences — the SGD
+    lockstep arms can't see them. Dropout is disabled (den/cls p=0) so
+    train-mode forwards are deterministic on both sides; everything
+    else is the shipped recipe. The reference has no EMA, so the EMA
+    column is reported for our side only (informational).
+
+    Geometry: full DGModel_final architecture with a reduced memory
+    bank (mem_size/mem_dim 64) and 64^2 crops for CPU tractability —
+    the optimizer/scheduler semantics under test are size-independent.
+    """
+    import numpy as np
+    import torch
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from reference_oracle import ref_import
+    import dgvcc_tpu.models  # noqa: F401
+    import dgvcc_tpu.losses  # noqa: F401
+    from dgvcc_tpu.core.registry import DATASETS, LOSSES, MODELS
+    from dgvcc_tpu.data.loader import DataLoader
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+    from dgvcc_tpu.train.optim import build_optimizer, build_scheduler
+    from dgvcc_tpu.train.state import TrainState
+    from dgvcc_tpu.train.steps import build_train_step, jit_train_step
+    import dgvcc_tpu.data  # noqa: F401
+
+    torch.manual_seed(seed)
+    ref = ref_import("models.models").DGModel_final(
+        pretrained=False, mem_size=mem_size, mem_dim=mem_dim,
+        den_dropout=0.0, cls_dropout=0.0)
+
+    root = tempfile.mkdtemp(prefix="ab_full_")
+    build_data(root, seed)
+    train = DATASETS.build("den_cls", method="train", root=root,
+                           crop_size=crop, downsample=1, unit_size=16)
+    val_ds = DATASETS.build("den_cls", method="val", root=root,
+                            crop_size=crop, downsample=1, unit_size=16)
+    loader = DataLoader(train, batch_size=8, shuffle=True, seed=seed)
+
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    model = MODELS.build("final", pretrained=False, mem_size=mem_size,
+                         mem_dim=mem_dim, den_dropout=0.0, cls_dropout=0.0)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   jnp.zeros((1, crop, crop, 3)), train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+
+    tx = build_optimizer({"name": "adamw",
+                          "params": {"lr": lr,
+                                     "weight_decay": weight_decay}})
+    sched_params = {"max_lr": lr, "epochs": epochs, "steps_per_epoch": 15,
+                    "final_div_factor": 1000}  # sta_final.yml:59-65 shape
+    sched = build_scheduler({"name": "onecycle", "params": sched_params}, lr)
+    params = v2["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=v2.get("batch_stats", {}), opt_state=tx.init(params),
+        tx=tx,
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+        ema_decay=jnp.asarray(ema, jnp.float32) if ema else None)
+    loss_obj = LOSSES.build("mse")
+    step = jit_train_step(build_train_step(model, loss_obj, "final", LOG_PARA),
+                          donate=False)
+
+    topt = torch.optim.AdamW(ref.parameters(), lr=lr,
+                             weight_decay=weight_decay)
+    tsched = torch.optim.lr_scheduler.OneCycleLR(topt, **sched_params)
+    tmse = torch.nn.MSELoss()
+
+    def nchw(a):
+        return torch.tensor(np.ascontiguousarray(np.transpose(a, (0, 3, 1, 2))))
+
+    def torch_step(batch):
+        # dgtrainer.py:183-190 'final' protocol, verbatim semantics
+        x1, x2 = nchw(batch["img1"]), nchw(batch["img2"])
+        y = nchw(batch["dmap"])
+        cgt = nchw(batch["bmap"])
+        topt.zero_grad()
+        dc1, dc2, c1, c2, _cerr, loss_con, _ = ref.forward_train(x1, x2, cgt)
+        loss_den = tmse(dc1, y * LOG_PARA) + tmse(dc2, y * LOG_PARA)
+        loss_cls = (torch.nn.functional.binary_cross_entropy(c1, cgt)
+                    + torch.nn.functional.binary_cross_entropy(c2, cgt))
+        total = loss_den + 10 * loss_cls + 10 * loss_con
+        total.backward()
+        topt.step()
+        return float(total.detach())
+
+    def jpred(p, bstats, img):
+        out = model.apply({"params": p, "batch_stats": bstats}, img)
+        return float(jnp.sum(out[0]) / LOG_PARA)
+
+    def val_mae():
+        ref.eval()
+        tm, jm, em = [], [], []
+        for i in range(len(val_ds)):
+            s = val_ds[i]
+            gt = len(s["gt"])
+            img = s["img1"][None]
+            with torch.no_grad():
+                tp = float(ref(nchw(img))[0].sum()) / LOG_PARA
+            tm.append(abs(tp - gt))
+            jm.append(abs(jpred(state.params, state.batch_stats,
+                                jnp.asarray(img)) - gt))
+            if ema:
+                em.append(abs(jpred(state.ema_params, state.batch_stats,
+                                    jnp.asarray(img)) - gt))
+        ref.train()
+        return (float(np.mean(tm)), float(np.mean(jm)),
+                float(np.mean(em)) if ema else float("nan"))
+
+    print(f"full-recipe A/B (mode 'final', den_cls two-view, AdamW "
+          f"wd={weight_decay}, per-epoch OneCycleLR, {epochs} epochs; "
+          f"EMA decay {ema} on the tpu side only)")
+    print(f"{'epoch':>5} {'lr':>9} {'torch loss':>11} {'tpu loss':>11} "
+          f"{'torch MAE':>10} {'tpu MAE':>10} {'tpu EMA MAE':>11}")
+    rows = []
+    for epoch in range(epochs):
+        # per-epoch LR on both sides: torch sets lr_at(e) via the
+        # scheduler constructed at lr_at(0) + e end-of-epoch step()s;
+        # ours injects the same closed form
+        state = state.set_learning_rate(sched.lr_at(epoch))
+        loader.set_epoch(epoch)
+        tl = jl = 0.0
+        nb = 0
+        for batch in loader:
+            b = {k: jnp.asarray(np.asarray(v, np.float32))
+                 for k, v in batch.items()
+                 if k in ("img1", "img2", "dmap", "bmap")}
+            nb += 1
+            tl += torch_step({k: np.asarray(v) for k, v in b.items()})
+            state, metrics = step(state, b, jax.random.PRNGKey(0),
+                                  jnp.int32(epoch))
+            jl += float(metrics["loss_total"])
+        tsched.step()
+        tmae, jmae, emae = val_mae()
+        tlr = topt.param_groups[0]["lr"]
+        rows.append((epoch, tl / nb, jl / nb, tmae, jmae, emae))
+        print(f"{epoch:5d} {sched.lr_at(epoch):9.2e} {tl / nb:11.4f} "
+              f"{jl / nb:11.4f} {tmae:10.3f} {jmae:10.3f} {emae:11.3f}",
+              flush=True)
+        # scheduler parity guard: after e steps torch must sit at our
+        # lr_at(e+1) (both per-epoch); catches placement drift live
+        assert abs(tlr - sched.lr_at(epoch + 1)) <= 1e-9 + 1e-6 * tlr, (
+            f"scheduler divergence at epoch {epoch}: torch {tlr} vs "
+            f"ours {sched.lr_at(epoch + 1)}")
+    t3 = np.mean([r[3] for r in rows[-3:]])
+    j3 = np.mean([r[4] for r in rows[-3:]])
+    e3 = np.mean([r[5] for r in rows[-3:]])
+    print(f"\nfinal-3-epoch mean val MAE: torch {t3:.3f} | "
+          f"dgvcc_tpu {j3:.3f} | dgvcc_tpu EMA {e3:.3f}")
+    return rows
+
+
 if __name__ == "__main__":
+    # the harness is a CPU numerics-identity tool (docstring) — run
+    # standalone it must NOT land on the TPU relay (the env pins
+    # JAX_PLATFORMS=axon; under pytest, conftest.py forces cpu)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="mcnn",
                     choices=["mcnn", "bl", "dg_base", "ibn", "sw", "isw",
                              "sw_vgg", "csrnet", "dssinet", "sasnet",
-                             "cctrans"])
+                             "cctrans", "full_recipe"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
@@ -504,5 +678,7 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.family == "isw":
         ab_run_isw(a.epochs, a.lr, a.seed, a.optimizer)
+    elif a.family == "full_recipe":
+        ab_run_full_recipe(epochs=a.epochs, seed=a.seed)
     else:
         ab_run(a.family, a.epochs, a.lr, a.seed, a.optimizer)
