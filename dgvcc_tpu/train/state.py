@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 class TrainState(struct.PyTreeNode):
@@ -78,7 +77,11 @@ def create_train_state(model, rng, sample_input, tx,
         **(train_kwargs or {}),
     )
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # plain dict, matching what a mutable=["batch_stats"] apply returns
+    # for stat-free models — a FrozenDict() here would differ in pytree
+    # TYPE from the step's {} output, which is fatal as a lax.scan carry
+    # (flax>=0.7 init returns plain dicts throughout)
+    batch_stats = variables.get("batch_stats", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

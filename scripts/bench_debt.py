@@ -32,14 +32,18 @@ _watchdog = [None]
 def _arm_watchdog():
     import threading
 
+    # per-row budget; raise for rows whose host-side PTQ build alone
+    # exceeds 20 min on a 1-core host (cctrans int8 does)
+    budget = float(os.environ.get("BENCH_DEBT_WATCHDOG_S", "1200"))
+
     def _die():
-        print("bench_debt watchdog: no progress 1200 s — relay likely down",
-              file=sys.stderr, flush=True)
+        print(f"bench_debt watchdog: no progress {budget:.0f} s — relay "
+              "likely down", file=sys.stderr, flush=True)
         os._exit(3)
 
     if _watchdog[0] is not None:
         _watchdog[0].cancel()
-    _watchdog[0] = threading.Timer(1200.0, _die)
+    _watchdog[0] = threading.Timer(budget, _die)
     _watchdog[0].daemon = True
     _watchdog[0].start()
 

@@ -250,3 +250,33 @@ def test_baseline_train_step_runs_and_learns(name, bk, hw):
     # gradients flow and at least one update improves the fixed batch
     # (strict monotonicity is optimizer noise at random init)
     assert min(losses[1:]) < losses[0], losses
+
+
+def test_step_is_scan_carry_safe_for_stat_free_models():
+    """Regression: a model with NO batch_stats collection must yield a
+    TrainState whose batch_stats ({}, plain dict) has the SAME pytree
+    type as what a mutable=["batch_stats"] apply returns — otherwise
+    lax.scan over train steps (bench harnesses, compiled multi-step
+    epochs) fails with a carry-structure TypeError. Caught live by
+    scripts/bench_debt.py on the csrnet train row."""
+    model = _PlainConvNet()
+    tx = build_optimizer({"name": "adamw", "params": {"lr": 1e-3}})
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)), tx)
+    assert type(state.batch_stats) is dict
+    step = build_train_step(model, LOSSES.build("mse"), "simple", 1000.0)
+    batch = {
+        "img1": jnp.ones((2, 16, 16, 3)),
+        "dmap": jnp.full((2, 16, 16, 1), 1e-3),
+    }
+
+    @jax.jit
+    def three_steps(state):
+        def body(s, i):
+            s, m = step(s, batch, jax.random.fold_in(jax.random.PRNGKey(1), i),
+                        jnp.int32(0))
+            return s, m["loss_total"]
+        return jax.lax.scan(body, state, jnp.arange(3))
+
+    state, losses = three_steps(state)
+    assert np.all(np.isfinite(np.asarray(losses)))
