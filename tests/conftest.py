@@ -68,18 +68,82 @@ def synth_root_factory(tmp_path_factory):
     return make
 
 # ---------------------------------------------------------------------------
-# Two-lane suite. Even with the compile cache, the ~25 slowest tests are
+# Two-lane suite. Even with the compile cache, the slowest tests are
 # TRACING-bound (full VGG/ResNet train graphs traced per test; tracing is
 # pure Python and uncacheable, ~10-60 s each on this 1-core host), so the
-# full suite takes ~14 min warm / ~22 min cold — it cannot fit a 10-min
-# verification window. Default runs deselect the heavy lane LOUDLY (a
-# banner + pytest's own deselect count); `RUN_HEAVY=1 pytest tests/` or
-# `pytest tests/ --heavy` runs everything and remains the pre-commit /
-# per-round gate (see BENCH_NOTES.md "Suite cost").
+# full suite cannot fit a short verification window. Default runs
+# deselect the heavy lane LOUDLY (a banner + pytest's own deselect
+# count); `RUN_HEAVY=1 pytest tests/` or `pytest tests/ --heavy` runs
+# everything and remains the pre-commit / per-round gate (see
+# BENCH_NOTES.md "Suite cost").
+#
+# Fast-lane budget: ~5 min warm on a 1-core host (VERDICT r3 item 7).
+# Measured 2026-08-19 after the round-4 re-split: 270 tests in
+# 6:00 warm (359.8 s; was 320 tests / ~15 min). The residual is the
+# long tail (~1.3 s/test genuine trace+execute), not a few hogs — see
+# BENCH_NOTES.md "Suite cost". When adding a test, time it
+# single-core; >=9 s warm belongs in HEAVY.
 # ---------------------------------------------------------------------------
 
 # nodeid substrings of trace-bound tests (everything ≥9 s warm)
 HEAVY = (
+    # --- round-4 re-split: fast-lane entries that outgrew the budget
+    # (durations from a full --durations=70 run, 2026-08-19). Every
+    # subsystem keeps a cheap fast-lane sibling: spatial -> mcnn exact
+    # step + shard validation; serve_mesh -> test_shard_arg_validated;
+    # eval parity -> csrnet/mcnn/bl/regressor_m; sync whitening ->
+    # unit tests in test_whitening.py; quant -> site inventory + DG
+    # int8 tracks-fp on tiny geometry; e2e -> cli train/test smokes.
+    "test_serve_mesh.py::test_spatial_sharded_quantized_artifact",
+    "test_spatial.py::test_spatial_step_dg_final_first_step_exact",
+    "test_e2e.py::test_early_stop_halts_on_plateau",
+    "test_serve_pipeline.py::test_video_counter_quantized_baselines",
+    "test_multihost.py::test_host_sharded_batch_drives_parallel_step",
+    "test_tb.py::test_scalar_writer_roundtrip",
+    "test_serve_mesh.py::test_sharded_tiled_path",
+    "test_baselines.py::test_cctrans_padding_mask_limits_leakage",
+    "test_models_dg.py::test_batched_two_view_identical_views_match_unbatched",
+    "test_reference_ckpt.py::test_cctrans_checkpoint_converts_and_runs",
+    "test_quant.py::test_baseline_int8_counts_track_fp[cctrans]",
+    "test_serve_mesh.py::test_spatial_tiled_path_pads_indivisible_tile_count",
+    "test_serve_mesh.py::test_spatial_sharded_counts_match_single_device",
+    "test_spatial.py::test_trainer_spatial_mesh_e2e",
+    "test_sync_whitening.py::test_sw_counter_dp_matches_single_device",
+    "test_e2e.py::test_bayesian_training_end_to_end",
+    "test_quant.py::test_baseline_folded_fp_matches_flax_eval[cctrans]",
+    "test_sync_whitening.py::test_isw_dp_matches_single_device",
+    "test_reference_ckpt.py::test_pth_drives_trainer_and_serve",
+    "test_quant_io.py::test_convnet_artifact_roundtrip[csrnet",
+    "test_quant.py::test_baseline_int8_counts_track_fp[bl]",
+    "test_baselines.py::test_sasnet_full_res",
+    "test_quant.py::test_baseline_int8_counts_track_fp[csrnet]",
+    "test_train_steps.py::test_sharded_tiled_counter_matches_single_device",
+    "test_serve_mesh.py::test_spatial_whole_frame_pads_height_to_axis",
+    "test_serve_mesh.py::test_cli_builds_spatial_mesh_from_config",
+    "test_e2e.py::test_test_report_csv",
+    "test_serve_mesh.py::test_sharded_counts_match_single_device",
+    "test_whitening.py::test_isw_train_step_integration",
+    "test_serve_pipeline.py::test_video_counter_tiled_large_frames",
+    "test_eval_parity.py::test_sw_counter_eval_parity",
+    "test_eval_parity.py::test_dssinet_eval_parity",
+    "test_backbone_variants.py::test_densenet_pretrained_into_sw_counter",
+    "test_serve_mesh.py::test_sharded_ragged_batch_pads_and_slices",
+    "test_eval_parity.py::test_dg_final_eval_parity_reference_module",
+    "test_baselines.py::test_dssinet_full_res",
+    # second tier (6–10 s each): subsystem keeps a cheaper sibling fast
+    "test_serve_fleet.py::test_fleet_startup_failure_stops_replicas",
+    "test_pp.py::test_pipeline_matches_sequential[4stage-2deep]",
+    "test_serve_mesh.py::test_spatial_sharded_partitions_do_not_gather",
+    "test_regressors.py::test_reg_mem_forward_and_train",
+    "test_backbone_variants.py::test_ibn_counter_variants_run[kwargs1]",
+    "test_tb.py::test_trainer_writes_tb_scalars",
+    "test_backbone_variants.py::test_se_resnet_trunk_matches_torch",
+    "test_accum.py::test_accum_under_data_parallel_mesh",
+    "test_pp.py::test_pipeline_from_real_trunk_stage",
+    "test_train_steps.py::test_baseline_train_step_runs_and_learns[bl]",
+    "test_reference_ckpt.py::test_sasnet_checkpoint_converts_and_runs",
+    "test_torch_export.py::test_family_export_roundtrip[sw]",
+    # --- original heavy lane below
     "test_ab_compare.py::test_ab_lockstep",
     # the big eval-parity oracles (full alt_gvt / vgg16_bn-U graphs in
     # eager flax on this 1-core host; csrnet/mcnn/bl/... stay fast-lane)
