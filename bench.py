@@ -36,22 +36,45 @@ TARGET_MULTIPLIER = 3.0
 
 def main():
     import os
+    import sys
     import threading
 
     # watchdog: this container's TPU relay occasionally goes down in a
     # mode where NEW connections hang forever (no error). A hung bench
     # would stall the whole round-end pipeline — fail loudly instead.
-    def _die():
-        import sys
+    # PROGRESS-BASED: each completed milestone re-arms the timer, so a
+    # slow-but-advancing run is tolerated while a genuine hang still
+    # aborts within one budget of the last progress. A fixed-total
+    # 900 s timer aborted a live run on 2026-08-19 mid-compile; that
+    # night the relay's remote-compile of the single B=32 768x1024
+    # graph alone exceeded 900 s (a B=4 probe took 162 s cold), so the
+    # per-milestone default is 1800 s (override: BENCH_WATCHDOG_S).
+    _timer = [None]
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", "1800"))
 
-        print("bench.py watchdog: no result after 900 s — the TPU relay "
-              "is likely down (new connections hang); aborting",
+    def _die():
+        print(f"bench.py watchdog: no progress for {budget:.0f} s — the "
+              "TPU relay is likely down (new connections hang); aborting",
               file=sys.stderr, flush=True)
         os._exit(3)
 
-    watchdog = threading.Timer(900.0, _die)
-    watchdog.daemon = True
-    watchdog.start()
+    def tick(milestone):
+        print(f"bench.py: {milestone}", file=sys.stderr, flush=True)
+        if _timer[0] is not None:
+            _timer[0].cancel()
+        _timer[0] = threading.Timer(budget, _die)
+        _timer[0].daemon = True
+        _timer[0].start()
+
+    tick("start")
+
+    class _Watchdog:  # keep the single cancel() call site below working
+        @staticmethod
+        def cancel():
+            if _timer[0] is not None:
+                _timer[0].cancel()
+
+    watchdog = _Watchdog()
 
     import jax
     import jax.numpy as jnp
@@ -72,6 +95,7 @@ def main():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, init_x
     )
+    tick("model initialized")
 
     def infer_one(variables, frames):
         d, _ = model.apply(variables, frames)
@@ -98,12 +122,14 @@ def main():
     # wait for device completion — the only true sync is a host
     # readback. Each timed call therefore reads back the (tiny) counts.
     np.asarray(infer_k(variables, frames))  # compile + sync
+    tick("bf16 serving graph compiled")
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(infer_k(variables, frames))
         times.append(time.perf_counter() - t0)
+        tick("bf16 timed iteration")
     # subtract the measured tunnel round-trip (timed on a trivial readback)
     @jax.jit
     def trivial(x):
@@ -126,6 +152,7 @@ def main():
 
     calib = jnp.asarray(rng.normal(size=(2, 256, 256, 3)).astype(np.float32))
     q = QuantizedDG.from_model(model, variables, calib)
+    tick("int8 graph folded + calibrated")
 
     @jax.jit
     def infer_q_k(qparams, frames):
@@ -138,14 +165,16 @@ def main():
         return counts
 
     np.asarray(infer_q_k(q.qparams, frames))  # compile + sync
+    tick("int8 serving graph compiled")
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(infer_q_k(q.qparams, frames))
         times.append(time.perf_counter() - t0)
+        tick("int8 timed iteration")
     int8_fps = B * K / max(float(np.median(times)) - rtt, 1e-6)
 
-    train_img_s, train_ms = bench_train(jax, jnp, rtt=rtt)
+    train_img_s, train_ms = bench_train(jax, jnp, rtt=rtt, tick=tick)
     fps = int8_fps  # the headline IS the int8 path — a regression here
     # must show in `value`, not hide behind the bf16 number
     print(json.dumps({
@@ -162,7 +191,7 @@ def main():
     watchdog.cancel()
 
 
-def bench_train(jax, jnp, rtt: float = 0.0):
+def bench_train(jax, jnp, rtt: float = 0.0, tick=lambda m: None):
     """Training throughput: mode 'final' full fused step (two-view
     forward + losses + backward + adamw update), 320^2 crops, B=16,
     bf16 — the production training shape (configs/sta_final.yml).
@@ -207,12 +236,14 @@ def bench_train(jax, jnp, rtt: float = 0.0):
 
     state, l0 = step_k(state, batch)  # compile
     float(l0)  # true sync through the relay
+    tick("train step compiled")
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         state, l0 = step_k(state, batch)
         float(l0)  # one readback per K steps
         times.append(time.perf_counter() - t0)
+        tick("train timed iteration")
     step_s = max((float(np.median(times)) - rtt) / K, 1e-6)
     return B / step_s, step_s * 1e3
 
