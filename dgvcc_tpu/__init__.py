@@ -19,4 +19,4 @@ Layout:
     cli/       `python -m dgvcc_tpu.cli.main --config ... --task ...`
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"  # kept in sync with pyproject.toml (test_packaging)
