@@ -82,6 +82,11 @@ def _aot_export(cfg, shapes: str, platforms: str, out: str,
     if out is None or shapes is None:
         raise SystemExit("--task aot requires --out FILE and --shapes "
                          "BxHxW[,BxHxW...] (e.g. --shapes 1x1080x1920,4x720x1280)")
+    if quantize == "auto":
+        raise SystemExit("--task aot exports ONE program per shape — "
+                         "pick the precision: --quantize (int8) or "
+                         "none (bf16); export both files to serve "
+                         "adaptively")
     if artifact is None and cfg.checkpoint is None:
         raise SystemExit("--task aot requires a checkpoint (config key "
                          "'checkpoint' or --ckpt) or an int8 --artifact")
@@ -153,10 +158,13 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
             artifact, log_para=cfg.log_para, mesh=mesh, shard=shard)
     calib = None
     if quantize:
-        if frames_dir is None:
+        if frames_dir is not None:
+            calib = _load_calib(frames_dir, n=max(1, min(batch, 4)))
+        elif quantize != "auto":
+            # auto may calibrate lazily on the first throughput-regime
+            # batch (it serves fp until then); plain int8 cannot
             raise SystemExit("--quantize without --artifact needs "
                              "--frames DIR for scale calibration")
-        calib = _load_calib(frames_dir, n=max(1, min(batch, 4)))
     import jax.numpy as jnp
 
     # honor the config's activation dtype (trainer parity: bf16 default,
@@ -382,9 +390,13 @@ def build_parser():
                              "(HTTP mode: max request micro-batch)")
     parser.add_argument("--ckpt", type=str, default=None,
                         help="override the config's checkpoint: key")
-    parser.add_argument("--quantize", action="store_true",
-                        help="serve through the int8 PTQ graph "
-                             "(DG family; ~1.5x fps on TPU v5e)")
+    parser.add_argument("--quantize", nargs="?", const=True, default=False,
+                        choices=[True, False, "auto"], metavar="auto",
+                        help="serve through the int8 PTQ graph (~1.5x "
+                             "fps on TPU v5e at batch); '--quantize "
+                             "auto' keeps both graphs and picks int8 "
+                             "vs bf16 per dispatch by per-chip batch "
+                             "(int8 wins >=8, bf16 wins at B=1)")
     parser.add_argument("--template", type=str, default=None,
                         help="--task export: a same-architecture "
                              "reference .pth for torch key names/shapes")

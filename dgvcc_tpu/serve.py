@@ -31,10 +31,11 @@ class VideoCounter:
     """Batched, shape-bucketed crowd counting over raw uint8 frames."""
 
     def __init__(self, model, variables, log_para: float = 1000.0,
-                 bucket: int = 64, dtype=jnp.bfloat16, quantize: bool = False,
+                 bucket: int = 64, dtype=jnp.bfloat16, quantize=False,
                  calib_frames: Optional[np.ndarray] = None,
                  tile_size: int = 768, tile_threshold: int = 4096,
-                 mesh=None, shard: str = "batch", quantized=None):
+                 mesh=None, shard: str = "batch", quantized=None,
+                 auto_threshold: int = 8):
         self.model = model
         self.variables = variables
         self.log_para = log_para
@@ -73,6 +74,21 @@ class VideoCounter:
         # it (e.g. 1536) to bound the compile set per unique frame size
         self.tile_size = tile_size
         self.tile_threshold = tile_threshold
+        # quantize="auto": keep BOTH serving graphs and pick per dispatch
+        # by the per-chip batch the MXU actually sees. Measured on v5e
+        # (BENCH_NOTES round 4): int8 wins from ~B=8/chip (1.16-1.6x by
+        # family) but LOSES at B=1 (9.28 ms bf16 vs 20.4 ms int8 — the
+        # quant/dequant epilogues dominate an unfilled MXU), so a
+        # latency-regime request serves fp and a throughput batch int8.
+        if quantize not in (False, True, "auto"):
+            raise ValueError(f"quantize must be False, True or 'auto'; "
+                             f"got {quantize!r}")
+        self.auto = quantize == "auto"
+        self.auto_threshold = auto_threshold
+        if self.auto and variables is None:
+            raise ValueError("quantize='auto' needs fp variables; an "
+                             "int8 artifact carries no fp weights "
+                             "(serve it with the default quantize)")
         self.quantized = None
         self._quant_pending = False
         if quantized is not None:
@@ -108,8 +124,8 @@ class VideoCounter:
             else:
                 self._build_quantized(np.asarray(calib_frames))
 
-        def density(weights, x):
-            if quantize:
+        def density(weights, x, use_q):
+            if use_q:
                 # weights IS qparams here — passed as a jit argument so
                 # the folded int8 weights are program inputs, not
                 # constants baked into the trace
@@ -119,13 +135,13 @@ class VideoCounter:
             out = self.model.apply(weights, x)
             return (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
 
-        def masked_counts(weights, frames_u8, valid_hw):
+        def masked_counts(weights, frames_u8, valid_hw, use_q):
             # uint8 → [-1, 1] normalize (Normalize(0.5, 0.5)) fused with
             # the forward; padded border zeroed out of the count.
             # valid_hw: (B, 2) per-sample real-pixel extents.
             x = frames_u8.astype(jnp.float32) / 255.0
             x = ((x - 0.5) / 0.5).astype(dtype)
-            d = density(weights, x)
+            d = density(weights, x, use_q)
             h_idx = jnp.arange(d.shape[1])[None, :, None, None]
             w_idx = jnp.arange(d.shape[2])[None, None, :, None]
             scale_h = d.shape[1] / frames_u8.shape[1]
@@ -160,22 +176,34 @@ class VideoCounter:
         else:
             jit_kw = {}
 
-        @functools.partial(jax.jit, **jit_kw)
-        def infer(weights, frames_u8, valid_hw):
-            return masked_counts(weights, frames_u8, valid_hw)
+        def make_graphs(use_q):
+            @functools.partial(jax.jit, **jit_kw)
+            def infer(weights, frames_u8, valid_hw):
+                return masked_counts(weights, frames_u8, valid_hw, use_q)
 
-        @functools.partial(jax.jit, **jit_kw)
-        def infer_tiled(weights, tiles_u8, valid_hw):
-            # tiles_u8: (B, T, t, t, 3) — each frame cut into T static
-            # tiles; forward as one (B*T) batch, per-frame sums INSIDE
-            # jit so streaming still gets a single (B,) device future
-            b, t = tiles_u8.shape[:2]
-            flat = tiles_u8.reshape((b * t,) + tiles_u8.shape[2:])
-            counts = masked_counts(weights, flat, valid_hw)
-            return counts.reshape(b, t).sum(axis=1)
+            @functools.partial(jax.jit, **jit_kw)
+            def infer_tiled(weights, tiles_u8, valid_hw):
+                # tiles_u8: (B, T, t, t, 3) — each frame cut into T
+                # static tiles; forward as one (B*T) batch, per-frame
+                # sums INSIDE jit so streaming still gets a single (B,)
+                # device future
+                b, t = tiles_u8.shape[:2]
+                flat = tiles_u8.reshape((b * t,) + tiles_u8.shape[2:])
+                counts = masked_counts(weights, flat, valid_hw, use_q)
+                return counts.reshape(b, t).sum(axis=1)
 
-        self._infer = infer
-        self._infer_tiled = infer_tiled
+            return infer, infer_tiled
+
+        # jit traces lazily, so defining both precisions costs nothing
+        # until a graph is actually dispatched
+        self._infer_fp, self._infer_tiled_fp = make_graphs(False)
+        self._infer_q, self._infer_tiled_q = make_graphs(True)
+        # the constructor-precision graphs (quantize=True -> int8):
+        # the aot export path (nn/aot.py) and the mesh tests lower these
+        if quantize:
+            self._infer, self._infer_tiled = self._infer_q, self._infer_tiled_q
+        else:
+            self._infer, self._infer_tiled = self._infer_fp, self._infer_tiled_fp
 
     def _build_quantized(self, calib_frames: np.ndarray):
         """Fold + calibrate + quantize on real frames (uint8 or already
@@ -213,14 +241,45 @@ class VideoCounter:
         return (self.quantized.qparams if self.quantized is not None
                 else self.variables)
 
+    def _dispatch_batch(self, frames: np.ndarray) -> int:
+        """The per-chip batch the dispatched program will see — the
+        quantity that decides whether int8 beats bf16 (MXU fill)."""
+        b, h, w, _ = frames.shape
+        if self.tile_size and max(h, w) > self.tile_threshold:
+            t = self.tile_size
+            b *= math.ceil(h / t) * math.ceil(w / t)
+        if self.shard == "batch" and self.n_shards > 1:
+            b = math.ceil(b / self.n_shards)
+        return b
+
+    def _select(self, frames: np.ndarray):
+        """(infer, infer_tiled, weights) for this dispatch. Non-auto:
+        the constructor precision. Auto: int8 once calibrated AND the
+        per-chip batch reaches auto_threshold, else fp."""
+        use_q = self.quantized is not None and (
+            not self.auto
+            or self._dispatch_batch(frames) >= self.auto_threshold)
+        if use_q:
+            return self._infer_q, self._infer_tiled_q, self.quantized.qparams
+        return self._infer_fp, self._infer_tiled_fp, self.variables
+
+    def _maybe_calibrate(self, frames: np.ndarray):
+        """Lazy PTQ calibration. In auto mode, don't pay fold+calibrate
+        for a latency-regime stream that would never dispatch int8."""
+        if not self._quant_pending:
+            return
+        if self.auto and self._dispatch_batch(frames) < self.auto_threshold:
+            return
+        self._build_quantized(frames)
+
     @classmethod
     def from_checkpoint(cls, model_name: str, ckpt_path: Optional[str] = None,
                         log_para: float = 1000.0, dtype=jnp.bfloat16,
-                        quantize: bool = False,
+                        quantize=False,
                         calib_frames: Optional[np.ndarray] = None,
                         tile_size: int = 768, tile_threshold: int = 4096,
                         mesh=None, shard: str = "batch", bucket: int = 64,
-                        **model_params):
+                        auto_threshold: int = 8, **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
         model = MODELS.build(model_name, dtype=dtype, **model_params)
@@ -277,7 +336,8 @@ class VideoCounter:
         return cls(model, variables, log_para=log_para, dtype=dtype,
                    quantize=quantize, calib_frames=calib_frames,
                    tile_size=tile_size, tile_threshold=tile_threshold,
-                   mesh=mesh, shard=shard, bucket=bucket)
+                   mesh=mesh, shard=shard, bucket=bucket,
+                   auto_threshold=auto_threshold)
 
     @classmethod
     def from_artifact(cls, path: str, log_para: float = 1000.0,
@@ -360,18 +420,18 @@ class VideoCounter:
                     [valid.reshape(b, t, 2),
                      np.zeros((b, extra, 2), valid.dtype)],
                     axis=1).reshape(b * (t + extra), 2)
-            return self._infer_tiled(self._weights(), jnp.asarray(tiles),
-                                     jnp.asarray(valid))
+            _, infer_tiled, weights = self._select(frames)
+            return infer_tiled(weights, jnp.asarray(tiles),
+                               jnp.asarray(valid))
+        infer, _, weights = self._select(frames)
         padded, (h, w) = self._pad(frames)
         valid = np.tile(np.int32([h, w]), (b, 1))
-        return self._infer(self._weights(), jnp.asarray(padded),
-                           jnp.asarray(valid))
+        return infer(weights, jnp.asarray(padded), jnp.asarray(valid))
 
     def count_frames(self, frames: np.ndarray) -> np.ndarray:
         """frames: (B, H, W, 3) uint8 → (B,) predicted counts."""
         frames = np.asarray(frames)
-        if self._quant_pending:  # lazy calibration on the first real batch
-            self._build_quantized(frames)
+        self._maybe_calibrate(frames)  # lazy PTQ on the first real batch
         return np.asarray(self._launch(frames))
 
     def stream(self, frame_batches: Iterable[np.ndarray],
@@ -381,8 +441,7 @@ class VideoCounter:
         in_flight = []
         for frames in frame_batches:
             frames = np.asarray(frames)
-            if self._quant_pending:
-                self._build_quantized(frames)
+            self._maybe_calibrate(frames)
             in_flight.append(self._launch(frames))
             if len(in_flight) > prefetch:
                 yield np.asarray(in_flight.pop(0))

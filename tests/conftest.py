@@ -143,6 +143,11 @@ HEAVY = (
     "test_train_steps.py::test_baseline_train_step_runs_and_learns[bl]",
     "test_reference_ckpt.py::test_sasnet_checkpoint_converts_and_runs",
     "test_torch_export.py::test_family_export_roundtrip[sw]",
+    # auto-precision serving: full fp+int8 builds of the 'final' model
+    # (~125 s each warm); the fast lane keeps the pure selection-logic
+    # test + the artifact-rejection guard
+    "test_serve_pipeline.py::test_video_counter_auto_precision_picks_graph_by_batch",
+    "test_serve_pipeline.py::test_video_counter_auto_lazy_calibration_waits_for_throughput_batch",
     # --- original heavy lane below
     "test_ab_compare.py::test_ab_lockstep",
     # the big eval-parity oracles (full alt_gvt / vgg16_bn-U graphs in

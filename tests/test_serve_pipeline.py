@@ -236,3 +236,104 @@ def test_video_counter_tiled_large_frames():
     c_96 = g96.count_frames(frames)
     np.testing.assert_allclose(c_96, c_tiled, rtol=0.1,
                                atol=0.1 * max(1.0, np.abs(c_tiled).max()))
+
+
+def test_video_counter_auto_precision_picks_graph_by_batch():
+    """quantize='auto': fp graph below auto_threshold per-chip batch,
+    int8 at/above it; both give the same counts within PTQ tolerance.
+    (Measured basis: int8 wins >=B=8/chip, bf16 wins at B=1 —
+    BENCH_NOTES round 4.)"""
+    from dgvcc_tpu.serve import VideoCounter
+
+    rng = np.random.default_rng(5)
+    calib = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    vc = VideoCounter.from_checkpoint("final", None, dtype=jnp.float32,
+                                      quantize="auto", calib_frames=calib,
+                                      auto_threshold=4,
+                                      mem_size=8, mem_dim=16)
+    assert vc.quantized is not None and vc.auto
+
+    calls = {"fp": 0, "q": 0}
+    fp, q = vc._infer_fp, vc._infer_q
+
+    def spy(name, fn):
+        def wrapped(*a):
+            calls[name] += 1
+            return fn(*a)
+        return wrapped
+
+    vc._infer_fp, vc._infer_q = spy("fp", fp), spy("q", q)
+
+    small = rng.integers(0, 256, (1, 96, 128, 3), dtype=np.uint8)
+    big = np.tile(small, (4, 1, 1, 1))
+    c_small = vc.count_frames(small)
+    assert calls == {"fp": 1, "q": 0}
+    c_big = vc.count_frames(big)
+    assert calls == {"fp": 1, "q": 1}
+    # same frame, both precisions: counts agree within PTQ tolerance
+    np.testing.assert_allclose(
+        c_big[0], c_small[0], rtol=0.05,
+        atol=0.05 * max(1.0, abs(float(c_small[0]))))
+
+
+def test_video_counter_auto_lazy_calibration_waits_for_throughput_batch():
+    """auto without calib_frames serves fp immediately and only pays
+    fold+calibrate when a batch first reaches the threshold."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    rng = np.random.default_rng(6)
+    vc = VideoCounter.from_checkpoint("final", None, dtype=jnp.float32,
+                                      quantize="auto", auto_threshold=4,
+                                      mem_size=8, mem_dim=16)
+    assert vc._quant_pending and vc.quantized is None
+
+    small = rng.integers(0, 256, (1, 96, 128, 3), dtype=np.uint8)
+    c1 = vc.count_frames(small)
+    assert vc.quantized is None  # latency regime: no calibration cost
+    assert np.isfinite(c1).all()
+
+    big = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    c4 = vc.count_frames(big)
+    assert vc.quantized is not None and not vc._quant_pending
+    assert np.isfinite(c4).all()
+
+
+def test_video_counter_auto_rejects_artifact_serving():
+    """an int8 artifact has no fp weights — auto must refuse loudly."""
+    from dgvcc_tpu.serve import VideoCounter
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+
+    model = MODELS.build("base", dtype=jnp.float32)
+    with pytest.raises(ValueError, match="auto"):
+        VideoCounter(model, None, quantize="auto")
+
+
+def test_video_counter_auto_selection_logic():
+    """Fast-lane sibling of the heavy auto-precision tests: the
+    dispatch-batch accounting and graph selection, no quantize build."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    vc = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                      quantize="auto", auto_threshold=4,
+                                      tile_size=64, tile_threshold=96)
+    small = np.zeros((1, 64, 64, 3), np.uint8)
+    big = np.zeros((4, 64, 64, 3), np.uint8)
+    # calibration still pending: fp serves every batch
+    assert vc._select(small)[0] is vc._infer_fp
+    assert vc._select(big)[0] is vc._infer_fp
+
+    class FakeQ:
+        qparams = {"sites": {}}
+
+    vc.quantized, vc._quant_pending = FakeQ(), False
+    assert vc._select(small)[0] is vc._infer_fp
+    assert vc._select(big)[0] is vc._infer_q
+    # the tiled path inflates the dispatch batch: one 300x300 frame cuts
+    # into 25 tiles >= threshold -> int8
+    giant = np.zeros((1, 300, 300, 3), np.uint8)
+    assert vc._dispatch_batch(giant) == 25
+    assert vc._select(giant)[1] is vc._infer_tiled_q
+    # non-auto counters keep constructor precision regardless of batch
+    vc.auto = False
+    assert vc._select(small)[0] is vc._infer_q
