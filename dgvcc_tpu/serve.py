@@ -91,6 +91,7 @@ class VideoCounter:
                              "(serve it with the default quantize)")
         self.quantized = None
         self._quant_pending = False
+        self.dispatches = {"fp": 0, "int8": 0}  # per-precision counters
         if quantized is not None:
             # prebuilt int8 graph (a loaded artifact, nn/quant_io.py) —
             # already folded + calibrated, nothing to do but place it
@@ -259,6 +260,10 @@ class VideoCounter:
         use_q = self.quantized is not None and (
             not self.auto
             or self._dispatch_batch(frames) >= self.auto_threshold)
+        # best-effort observability (exact under serve_http's single
+        # dispatcher thread); surfaced as dispatch_fp/dispatch_int8 in
+        # /stats and aggregated fleet-wide
+        self.dispatches["int8" if use_q else "fp"] += 1
         if use_q:
             return self._infer_q, self._infer_tiled_q, self.quantized.qparams
         return self._infer_fp, self._infer_tiled_fp, self.variables

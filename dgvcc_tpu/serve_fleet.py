@@ -50,7 +50,8 @@ from typing import Callable, List, Optional
 
 from dgvcc_tpu.utils.devices import chip_env
 
-_STAT_KEYS = ("frames", "batches", "device_s")
+_STAT_KEYS = ("frames", "batches", "device_s",
+              "dispatch_fp", "dispatch_int8")
 
 
 def _free_port() -> int:
@@ -98,7 +99,7 @@ class Replica:
         move to a fresh port (the old one may be what killed it), and
         start a new process."""
         for k in _STAT_KEYS:
-            self.retired[k] += self.last_stats[k]
+            self.retired[k] = self.retired.get(k, 0) + self.last_stats.get(k, 0)
             self.last_stats[k] = 0
         self.restarts += 1
         self.port = _free_port()
@@ -138,7 +139,7 @@ class FleetServer:
                  devices: Optional[List[str]] = None, port: int = 8000,
                  host: str = "0.0.0.0", batch: int = 4,
                  aot: str = None, artifact: str = None, ckpt: str = None,
-                 quantize: bool = False, frames_dir: str = None,
+                 quantize=False, frames_dir: str = None,
                  restart: bool = False, probe_s: float = 2.0,
                  request_timeout: float = 300.0):
         if devices and len(devices) != replicas:
@@ -162,7 +163,10 @@ class FleetServer:
                 cmd += ["--artifact", artifact]
             if ckpt:
                 cmd += ["--ckpt", ckpt]
-            if quantize:
+            if quantize == "auto":
+                # per-dispatch precision in each replica (serve.py)
+                cmd += ["--quantize", "auto"]
+            elif quantize:
                 cmd += ["--quantize"]
             if frames_dir:
                 cmd += ["--frames", frames_dir]
@@ -340,7 +344,9 @@ class FleetServer:
                     rep.last_stats[k] = live.get(k, 0)
                 per.append({"port": rep.port, **live})
             for k in _STAT_KEYS:
-                total[k] += rep.retired[k] + rep.last_stats[k]
+                # .get: a replica may predate a stat key (or a test
+                # seeds a partial dict) — missing contributes zero
+                total[k] += rep.retired.get(k, 0) + rep.last_stats.get(k, 0)
         total["replicas"] = per
         return total
 
@@ -400,7 +406,10 @@ def main(argv=None) -> int:
     ap.add_argument("--artifact", default=None, help="int8 artifact")
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint override forwarded to replicas")
-    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--quantize", nargs="?", const=True, default=False,
+                    choices=[True, False, "auto"], metavar="auto",
+                    help="int8 replicas; 'auto' picks int8 vs bf16 per "
+                         "dispatch inside each replica")
     ap.add_argument("--frames", default=None,
                     help="calibration imagery dir (with --quantize)")
     ap.add_argument("--restart", action="store_true",

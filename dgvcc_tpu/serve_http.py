@@ -9,7 +9,9 @@ checkpoint or calibration imagery.
 
 Routes:
     GET  /healthz  → {"status": "ok", "model": ..., "quantized": ...}
-    GET  /stats    → {"frames": N, "requests": N, "batches": N, "fps": ...}
+    GET  /stats    → {"frames": N, "requests": N, "batches": N, "fps": ...,
+                      "dispatch_fp": N, "dispatch_int8": N}  (per-precision
+                     dispatch counters — shows what quantize="auto" chose)
     GET  /metrics  → the same counters in Prometheus text exposition
                      format (scrapeable; no dependencies)
     POST /count    → {"count": float}   (body: JPEG/PNG image bytes)
@@ -180,9 +182,15 @@ class CountingServer:
                     s = dict(server._stats)
                     s["fps"] = (s["frames"] / s["device_s"]
                                 if s["device_s"] > 0 else 0.0)
+                    d = getattr(server.counter, "dispatches", None)
+                    if d is not None:  # AotCounter has no live graphs
+                        s["dispatch_fp"] = d["fp"]
+                        s["dispatch_int8"] = d["int8"]
                     self._json(200, s)
                 elif self.path == "/metrics":
                     s = dict(server._stats)
+                    d = getattr(server.counter, "dispatches",
+                                {"fp": 0, "int8": 0})
                     lines = []
                     for name, kind, val in (
                             ("dgvcc_frames_total", "counter", s["frames"]),
@@ -191,7 +199,11 @@ class CountingServer:
                             ("dgvcc_batches_total", "counter",
                              s["batches"]),
                             ("dgvcc_device_seconds_total", "counter",
-                             s["device_s"])):
+                             s["device_s"]),
+                            ("dgvcc_dispatch_fp_total", "counter",
+                             d["fp"]),
+                            ("dgvcc_dispatch_int8_total", "counter",
+                             d["int8"])):
                         lines += [f"# TYPE {name} {kind}", f"{name} {val}"]
                     body = ("\n".join(lines) + "\n").encode()
                     self.send_response(200)

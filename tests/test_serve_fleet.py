@@ -141,6 +141,27 @@ def test_fleet_validates_device_count(tmp_path):
         FleetServer("cfg.yml", replicas=2, devices=["0"], port=0)
 
 
+def test_fleet_quantize_auto_propagates_to_replica_cmd():
+    """--quantize auto reaches each replica's CLI verbatim (the replica
+    then picks int8 vs bf16 per dispatch, serve.py auto mode)."""
+    from dgvcc_tpu.serve_fleet import FleetServer
+
+    fleet = FleetServer("cfg.yml", replicas=1, port=0, quantize="auto")
+    try:
+        cmd = fleet.replicas[0].make_cmd(1234)
+        i = cmd.index("--quantize")
+        assert cmd[i + 1] == "auto"
+        # plain int8 stays a bare flag
+        fleet2 = FleetServer("cfg.yml", replicas=1, port=0, quantize=True)
+        try:
+            cmd2 = fleet2.replicas[0].make_cmd(1234)
+            assert "--quantize" in cmd2 and "auto" not in cmd2
+        finally:
+            fleet2._httpd.server_close()
+    finally:
+        fleet._httpd.server_close()
+
+
 def test_fleet_stats_monotonic_across_death_and_respawn():
     """Aggregate /stats never goes backwards: a dead replica keeps
     contributing its last-seen totals, and a respawn folds them into

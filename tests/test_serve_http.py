@@ -65,6 +65,10 @@ def test_count_matches_direct(server):
     assert f"dgvcc_frames_total {stats['frames']}" in text
     assert "dgvcc_device_seconds_total" in text
 
+    # per-precision dispatch counters: this fp server dispatched fp only
+    assert stats["dispatch_fp"] >= 1 and stats["dispatch_int8"] == 0
+    assert f"dgvcc_dispatch_fp_total {stats['dispatch_fp']}" in text
+
 
 def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
