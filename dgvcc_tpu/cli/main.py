@@ -152,6 +152,17 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
                 f"mesh {n_mesh} but only {len(jax.devices())} devices")
         mesh = make_mesh(n_mesh)
     if artifact is not None:
+        if quantize == "auto":
+            # an artifact carries ONLY the folded int8 graph — there are
+            # no fp variables to fall back to at small batch, so serving
+            # it as "auto" would silently pin every dispatch to int8
+            # (mirrors VideoCounter's quantize='auto' + variables=None
+            # guard)
+            raise SystemExit(
+                "--quantize auto cannot serve an --artifact: the int8 "
+                "artifact has no fp weights for the small-batch path. "
+                "Serve the checkpoint with --quantize auto, or the "
+                "artifact without it")
         # prebuilt int8 artifact (--task quantize): skip checkpoint +
         # calibration entirely — the replica deploy path
         return VideoCounter.from_artifact(

@@ -166,7 +166,7 @@ class DGModel(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        from dgvcc_tpu.nn.vgg import VGG16_CFG, VGGFeatures
+        from dgvcc_tpu.nn.vgg import VGG16_CFG, VGGFeatures, feature_layout
 
         # static_argnums counts (scope, x, train): `train` must be static
         # and passed POSITIONALLY at every call site
@@ -177,6 +177,15 @@ class DGModel(nn.Module):
 
         cfg = tuple(VGG16_CFG if self.vgg_cfg is None else self.vgg_cfg)
         s0, s1, s2, s3 = self.stage_splits
+        # a vgg_cfg override with stale stage_splits would make
+        # VGGFeatures silently skip every out-of-range index (identity
+        # stages, degenerate model) — fail loudly instead
+        n = len(feature_layout(cfg, True))
+        if not (0 <= s0 < s1 < s2 < s3 <= n):
+            raise ValueError(
+                f"stage_splits {tuple(self.stage_splits)} do not address "
+                f"the {n}-slot feature layout of this vgg_cfg — override "
+                f"stage_splits together with vgg_cfg")
 
         def stage(lo, hi):
             return stage_cls(cfg=cfg, batch_norm=True,

@@ -101,6 +101,11 @@ def export_serving(counter, shapes: Iterable[Tuple[int, int, int]],
     if getattr(counter, "_quant_pending", False):
         raise ValueError("quantized counter is uncalibrated — pass "
                          "calib_frames (or count one real batch) before export")
+    if getattr(counter, "auto", False):
+        raise ValueError(
+            "quantize='auto' counters pick precision per dispatch and "
+            "cannot export a single program — build the counter with "
+            "quantize=True (int8) or False (fp) for AOT export")
 
     weights = counter._weights()
     wspec = jax.tree.map(

@@ -200,8 +200,12 @@ class VideoCounter:
         self._infer_fp, self._infer_tiled_fp = make_graphs(False)
         self._infer_q, self._infer_tiled_q = make_graphs(True)
         # the constructor-precision graphs (quantize=True -> int8):
-        # the aot export path (nn/aot.py) and the mesh tests lower these
-        if quantize:
+        # the aot export path (nn/aot.py) and the mesh tests lower
+        # these, always paired with _weights(). An auto counter has no
+        # single pinned precision — pin the fp pair so the pinned
+        # graph and _weights() stay consistent (export_serving rejects
+        # auto counters outright; live dispatch uses _select instead)
+        if quantize and not self.auto:
             self._infer, self._infer_tiled = self._infer_q, self._infer_tiled_q
         else:
             self._infer, self._infer_tiled = self._infer_fp, self._infer_tiled_fp
@@ -238,19 +242,35 @@ class VideoCounter:
                 self.quantized.qparams, NamedSharding(self.mesh, P()))
 
     def _weights(self):
-        """The jit argument: fp variables, or qparams once quantized."""
-        return (self.quantized.qparams if self.quantized is not None
+        """The jit argument paired with the pinned `_infer` graphs
+        (AOT export, mesh lowering tests): fp variables, or qparams
+        once quantized. Auto counters pin fp (their precision is
+        per-dispatch via _select, never via the pinned pair)."""
+        return (self.quantized.qparams
+                if self.quantized is not None and not self.auto
                 else self.variables)
 
     def _dispatch_batch(self, frames: np.ndarray) -> int:
         """The per-chip batch the dispatched program will see — the
         quantity that decides whether int8 beats bf16 (MXU fill)."""
         b, h, w, _ = frames.shape
-        if self.tile_size and max(h, w) > self.tile_threshold:
+        tiled = self.tile_size and max(h, w) > self.tile_threshold
+        if tiled:
             t = self.tile_size
-            b *= math.ceil(h / t) * math.ceil(w / t)
-        if self.shard == "batch" and self.n_shards > 1:
-            b = math.ceil(b / self.n_shards)
+            n_tiles = math.ceil(h / t) * math.ceil(w / t)
+            if self.shard == "spatial" and self.n_shards > 1:
+                # the TILE dim shards over the mesh (_launch_exact):
+                # each chip forwards only its ceil(T/n) tiles per frame
+                return b * math.ceil(n_tiles / self.n_shards)
+            b *= n_tiles
+        if self.n_shards > 1:
+            if self.shard == "batch":
+                b = math.ceil(b / self.n_shards)
+            elif self.shard == "spatial":
+                # whole frames with H sharded over the mesh: each chip
+                # computes 1/n of every frame's rows, so MXU fill per
+                # chip scales like a 1/n-size batch
+                b = max(math.ceil(b / self.n_shards), 1)
         return b
 
     def _select(self, frames: np.ndarray):

@@ -145,6 +145,13 @@ class FleetServer:
         if devices and len(devices) != replicas:
             raise ValueError(f"--devices lists {len(devices)} ids for "
                              f"{replicas} replicas")
+        if artifact and quantize == "auto":
+            # fail in the parent, not N replica crash loops: an int8
+            # artifact has no fp weights for auto's small-batch path
+            # (same guard as cli/main.py::_build_counter)
+            raise ValueError("--quantize auto cannot serve an "
+                             "--artifact: the int8 artifact has no fp "
+                             "weights for the small-batch path")
         self.restart = restart
         self.probe_s = probe_s
         self.request_timeout = request_timeout

@@ -163,10 +163,7 @@ def test_resize_bilinear_ac_matches_torch():
                                rtol=1e-5, atol=1e-5)
 
 
-TINY = dict(vgg_cfg=(8, "M", 8, "M", 16, "M", 16, "M"),
-            stage_splits=(0, 8, 12, 16),
-            dec_widths=((16, 16), (16, 16), (16, 8)),
-            mem_size=16, mem_dim=16)
+from dgvcc_tpu.testing import TINY_MEM as TINY  # shared tiny geometry
 
 
 def test_batched_two_view_identical_views_match_unbatched():

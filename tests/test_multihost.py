@@ -213,9 +213,9 @@ def test_two_process_dp_step(tmp_path):
     from dgvcc_tpu.train.state import create_train_state
 
     mesh = global_mesh(8)
-    model = MODELS.build("base", vgg_cfg=(8, "M", 8, "M", 16, "M", 16, "M"),
-                         stage_splits=(0, 8, 12, 16),
-                         dec_widths=((16, 16), (16, 16), (16, 8)))
+    from dgvcc_tpu.testing import TINY  # shared with multihost_worker.py
+
+    model = MODELS.build("base", **TINY)
     tx = build_optimizer({"name": "adamw", "params": {"lr": 1e-3}})
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 32, 32, 3)), tx)

@@ -141,6 +141,16 @@ def test_fleet_validates_device_count(tmp_path):
         FleetServer("cfg.yml", replicas=2, devices=["0"], port=0)
 
 
+def test_fleet_rejects_artifact_with_auto():
+    """--artifact + --quantize auto fails in the parent, not as N
+    replica crash loops (the int8 artifact has no fp weights)."""
+    from dgvcc_tpu.serve_fleet import FleetServer
+
+    with pytest.raises(ValueError, match="auto"):
+        FleetServer("cfg.yml", replicas=1, port=0, quantize="auto",
+                    artifact="model.npz")
+
+
 def test_fleet_quantize_auto_propagates_to_replica_cmd():
     """--quantize auto reaches each replica's CLI verbatim (the replica
     then picks int8 vs bf16 per dispatch, serve.py auto mode)."""

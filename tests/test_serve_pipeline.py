@@ -1,9 +1,27 @@
 """Serving path + on-device augmentation pipeline."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+def _write_tiny_cfg(tmp_path):
+    """Minimal serving config for _build_counter (no datasets needed)."""
+    import yaml
+
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump({
+        "seed": 0, "version": "t", "device": "tpu", "log_para": 1000,
+        "patch_size": 1440, "mode": "simple", "num_epochs": 1,
+        "checkpoint": None,
+        "model": {"name": "base", "params": {"pretrained": False}},
+        "compute_dtype": "float32",
+        "log_dir": str(tmp_path / "logs"),
+    }))
+    return str(p)
 
 
 def test_video_counter_counts_uint8_frames():
@@ -337,3 +355,65 @@ def test_video_counter_auto_selection_logic():
     # non-auto counters keep constructor precision regardless of batch
     vc.auto = False
     assert vc._select(small)[0] is vc._infer_q
+
+
+def test_dispatch_batch_accounts_for_mesh_sharding():
+    """The auto threshold compares PER-CHIP batch: both shard modes
+    divide the dispatch over the mesh (regression: spatial used to
+    report the global tile count, over-triggering int8 by n_shards)."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    vc = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                      quantize="auto", auto_threshold=4,
+                                      tile_size=64, tile_threshold=96)
+    giant = np.zeros((1, 300, 300, 3), np.uint8)   # 25 tiles
+    frames4 = np.zeros((4, 64, 64, 3), np.uint8)   # whole frames
+
+    # single device: tiled inflation counts in full
+    assert vc._dispatch_batch(giant) == 25
+
+    # pretend an 8-chip mesh without building one (accounting only)
+    vc.n_shards = 8
+    vc.shard = "spatial"
+    # tile dim shards over the mesh: ceil(25/8) = 4 tiles/chip
+    assert vc._dispatch_batch(giant) == 4
+    # whole frames, H sharded: per-chip fill ~ b/n -> 1
+    assert vc._dispatch_batch(frames4) == 1
+
+    vc.shard = "batch"
+    assert vc._dispatch_batch(giant) == math.ceil(25 / 8)
+    assert vc._dispatch_batch(frames4) == 1
+
+
+def test_auto_counter_pins_fp_graphs_and_rejects_aot_export():
+    """quantize='auto' has no single pinned precision: the pinned
+    `_infer` pair and `_weights()` must stay fp-consistent even after
+    calibration, and AOT export must refuse the counter loudly."""
+    from dgvcc_tpu.nn.aot import export_serving
+    from dgvcc_tpu.serve import VideoCounter
+
+    vc = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                      quantize="auto")
+    assert vc._infer is vc._infer_fp and vc._infer_tiled is vc._infer_tiled_fp
+    assert vc._weights() is vc.variables
+
+    class FakeQ:
+        qparams = {"sites": {}}
+
+    vc.quantized, vc._quant_pending = FakeQ(), False
+    # even once calibrated: the pinned pair is for export/lowering and
+    # must agree with _weights() (live dispatch goes through _select)
+    assert vc._weights() is vc.variables
+    with pytest.raises(ValueError, match="auto"):
+        export_serving(vc, shapes=[(1, 64, 64)])
+
+
+def test_cli_serve_rejects_artifact_with_auto(tmp_path):
+    """--quantize auto + --artifact must fail loudly up front (the
+    artifact has no fp weights for the small-batch path)."""
+    from dgvcc_tpu.cli.main import _build_counter
+    from dgvcc_tpu.core.config import load_config
+
+    cfg = load_config(_write_tiny_cfg(tmp_path))
+    with pytest.raises(SystemExit, match="auto"):
+        _build_counter(cfg, quantize="auto", artifact="whatever.npz")
