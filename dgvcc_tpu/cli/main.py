@@ -184,7 +184,12 @@ def _build_counter(cfg, quantize: bool = False, artifact: str = None,
     return VideoCounter.from_checkpoint(
         cfg.model["name"], cfg.checkpoint, log_para=cfg.log_para,
         quantize=quantize, calib_frames=calib, mesh=mesh, shard=shard,
-        dtype=dtype, **cfg.model.get("params", {}))
+        dtype=dtype,
+        # default None = the shape-aware pixel rule (serve.py
+        # AUTO_INT8_MIN_PIXELS); an int here opts this deployment into
+        # the legacy per-chip-batch crossover instead
+        auto_threshold=cfg.extra.get("auto_threshold"),
+        **cfg.model.get("params", {}))
 
 
 def _serve_http(cfg, port: int, quantize: bool = False,

@@ -54,6 +54,16 @@ _ENC_SPLITS = (("enc1", 0, 23), ("enc2", 23, 33), ("enc3", 33, 43))
 _DEC_BLOCKS = ("dec3_0", "dec3_1", "dec2_0", "dec2_1", "dec1_0", "dec1_1")
 
 
+def _dg_geometry(model):
+    """(cfg, enc_splits) of a DGModel — honors the vgg_cfg/stage_splits
+    overrides (tiny test geometry, models/dg.py:163-164); defaults to
+    the production VGG16-BN plan."""
+    cfg = tuple(VGG16_CFG if getattr(model, "vgg_cfg", None) is None
+                else model.vgg_cfg)
+    s0, s1, s2, s3 = getattr(model, "stage_splits", (0, 23, 33, 43))
+    return cfg, (("enc1", s0, s1), ("enc2", s1, s2), ("enc3", s2, s3))
+
+
 def fold_bn(kernel, bias, scale, bn_bias, mean, var, eps=1e-5):
     """Collapse conv -> BN(eval) into an equivalent conv.
 
@@ -95,22 +105,26 @@ def _cast_sites(sites: Dict, dtype) -> Dict[str, Dict[str, Any]]:
     return out
 
 
-def fold_variables(variables: Dict) -> Dict[str, Dict[str, np.ndarray]]:
+def fold_variables(variables: Dict, model=None
+                   ) -> Dict[str, Dict[str, np.ndarray]]:
     """Fold every conv(+BN) site of a DG model into {name: kernel, bias}.
 
     Site names are '<module>/<conv>' paths of the flax param tree
     (enc1/conv0 ... dec3_0 ... den_dec, cls_conv1, plus the BN-free
-    den_head / cls_conv2).
+    den_head / cls_conv2). ``model`` supplies the encoder geometry when
+    it overrides the default VGG16 plan.
     """
+    cfg, enc_splits = _dg_geometry(model) if model is not None \
+        else (VGG16_CFG, _ENC_SPLITS)
     params = jax.tree.map(np.asarray, variables["params"])
     stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
     folded: Dict[str, Dict[str, np.ndarray]] = {}
 
     # encoder: torchvision-indexed conv{i}/bn{i+1} pairs
-    for enc, lo, hi in _ENC_SPLITS:
+    for enc, lo, hi in enc_splits:
         if enc not in params:
             continue
-        for kind, idx, _ in feature_layout(VGG16_CFG, True):
+        for kind, idx, _ in feature_layout(cfg, True):
             if kind != "conv" or not (lo <= idx < hi):
                 continue
             conv = params[enc][f"conv{idx}"]
@@ -153,7 +167,8 @@ class QuantizedDG:
 
     def __init__(self, folded: Dict, scales: Dict[str, float], model,
                  mem: Optional[np.ndarray], dtype=jnp.bfloat16,
-                 fused_mem: Optional[bool] = None):
+                 fused_mem: Optional[bool] = None,
+                 weight_only: bool = False):
         self.model = model
         self.dtype = dtype
         self.use_mem = model.use_mem
@@ -162,10 +177,20 @@ class QuantizedDG:
         if fused_mem is None:
             fused_mem = jax.default_backend() != "cpu"
         self.fused_mem = fused_mem
+        # weight_only: int8 weights in HBM, dequantized to the serving
+        # dtype at use; activations stay bf16 and the conv runs on the
+        # bf16 MXU. No activation quantize/requantize chains — a
+        # memory-footprint/bandwidth variant for small-dispatch regimes
+        # where full int8 loses (measured: B=1 768x1024 full-int8 runs
+        # 2.2x SLOWER than bf16, BENCH_NOTES round 4/5). Needs no
+        # activation calibration.
+        self.weight_only = weight_only
         self.scales = {k: float(v) for k, v in scales.items()}
         q: Dict[str, Dict[str, Any]] = {}
         for name, site in folded.items():
-            if name in _FP_SITES or name not in self.scales:
+            quantize_site = (name not in _FP_SITES
+                             and (weight_only or name in self.scales))
+            if not quantize_site:
                 q[name] = {"kernel": jnp.asarray(site["kernel"], dtype),
                            "bias": jnp.asarray(site["bias"], jnp.float32)}
             else:
@@ -182,12 +207,18 @@ class QuantizedDG:
 
     @classmethod
     def from_model(cls, model, variables, calib_frames,
-                   dtype=jnp.bfloat16, fused_mem: Optional[bool] = None
-                   ) -> "QuantizedDG":
-        """Fold, calibrate on ``calib_frames`` (NHWC), and quantize."""
-        folded = fold_variables(variables)
+                   dtype=jnp.bfloat16, fused_mem: Optional[bool] = None,
+                   weight_only: bool = False) -> "QuantizedDG":
+        """Fold, calibrate on ``calib_frames`` (NHWC), and quantize.
+        ``weight_only=True`` skips activation calibration entirely
+        (``calib_frames`` may be None): weights store int8, activations
+        stay bf16."""
+        folded = fold_variables(variables, model)
         mem = (np.asarray(variables["params"]["memory"]["mem"])
                if model.use_mem else None)
+        if weight_only:
+            return cls(folded, {}, model, mem, dtype=dtype,
+                       fused_mem=fused_mem, weight_only=True)
         caps = calibrate(model, folded, mem, calib_frames)
         # floor like quantize_weight's: a ReLU-dead (all-zero) calib site
         # would otherwise get scale 0 → x/0 NaNs and an input-independent
@@ -211,6 +242,7 @@ class QuantizedDG:
         if fused_mem is None:
             fused_mem = jax.default_backend() != "cpu"
         self.fused_mem = fused_mem
+        self.weight_only = False  # artifacts store full-int8 graphs
         self.scales = {k: float(v) for k, v in scales.items()}
         self.qparams = {"sites": _cast_sites(sites, dtype)}
         if mem is not None:
@@ -231,11 +263,20 @@ class QuantizedDG:
         (and calibration, scales not built yet) just concat."""
         site = qparams["sites"][name]
         parts = x if isinstance(x, (list, tuple)) else None
-        if "w8" not in site:  # fp site
+        if "w8" not in site or self.weight_only:  # fp-activation site
             if parts is not None:
                 x = jnp.concatenate(parts, axis=-1)
+            if "w8" in site:
+                # weight-only: dequantize the int8 kernel at use (XLA
+                # hoists this out of any scan — it is input-invariant);
+                # the conv itself runs on the bf16 MXU with no
+                # activation requantize chain
+                kernel = (site["w8"].astype(self.dtype)
+                          * site["ws"].astype(self.dtype))
+            else:
+                kernel = site["kernel"]
             y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), site["kernel"], (1, 1), padding,
+                x.astype(self.dtype), kernel, (1, 1), padding,
                 dimension_numbers=_DN)
             y = y + site["bias"].astype(self.dtype)
             return jax.nn.relu(y) if relu else y
@@ -257,8 +298,9 @@ class QuantizedDG:
 
     def _encoder(self, qparams, x):
         feats = []
-        for enc, lo, hi in _ENC_SPLITS:
-            for kind, idx, _ in feature_layout(VGG16_CFG, True):
+        cfg, enc_splits = _dg_geometry(self.model)
+        for enc, lo, hi in enc_splits:
+            for kind, idx, _ in feature_layout(cfg, True):
                 if not (lo <= idx < hi):
                     continue
                 if kind == "conv":
@@ -353,7 +395,7 @@ def calibrate(model, folded: Dict, mem: Optional[np.ndarray],
 
 def fp_folded_forward(model, variables, frames, dtype=jnp.float32):
     """The folded fp graph (no quantization) — exactness harness."""
-    folded = fold_variables(variables)
+    folded = fold_variables(variables, model)
     mem = (np.asarray(variables["params"]["memory"]["mem"])
            if model.use_mem else None)
     q = QuantizedDG(folded, scales={}, model=model, mem=mem, dtype=dtype,

@@ -26,6 +26,19 @@ import numpy as np
 
 from dgvcc_tpu.core.registry import MODELS
 
+# Int8-vs-bf16 crossover for quantize="auto", in per-chip PIXELS per
+# dispatch (per-chip batch x padded/tile spatial size). The crossover is
+# an MXU-fill property, so it moves with resolution as well as batch —
+# a fixed batch threshold calibrated at 768x1024 mis-picks at other
+# shapes (VERDICT r4). Calibrated from the measured v5e crossover table
+# (BENCH_NOTES.md "Round 5: int8/bf16 crossover"): int8 loses at
+# 768x1024 B=1 (0.79 Mpx, 0.45x) and B=2 (1.6 Mpx, 0.96x), wins from
+# B=3-4 (2.4-3.1 Mpx) and at every measured shape >= 2 Mpx (512^2 B>=8,
+# 1088x1920 B>=1). 2.0 Mpx sits in the measured gap between the last
+# losing point and the first winning point at both calibrated aspect
+# ratios.
+AUTO_INT8_MIN_PIXELS = 2_000_000
+
 
 class VideoCounter:
     """Batched, shape-bucketed crowd counting over raw uint8 frames."""
@@ -35,7 +48,7 @@ class VideoCounter:
                  calib_frames: Optional[np.ndarray] = None,
                  tile_size: int = 768, tile_threshold: int = 4096,
                  mesh=None, shard: str = "batch", quantized=None,
-                 auto_threshold: int = 8):
+                 auto_threshold: Optional[int] = None):
         self.model = model
         self.variables = variables
         self.log_para = log_para
@@ -75,11 +88,17 @@ class VideoCounter:
         self.tile_size = tile_size
         self.tile_threshold = tile_threshold
         # quantize="auto": keep BOTH serving graphs and pick per dispatch
-        # by the per-chip batch the MXU actually sees. Measured on v5e
-        # (BENCH_NOTES round 4): int8 wins from ~B=8/chip (1.16-1.6x by
-        # family) but LOSES at B=1 (9.28 ms bf16 vs 20.4 ms int8 — the
-        # quant/dequant epilogues dominate an unfilled MXU), so a
-        # latency-regime request serves fp and a throughput batch int8.
+        # by the work the MXU actually sees. Measured on v5e (BENCH_NOTES
+        # rounds 4-5): int8 wins once the per-chip dispatch carries
+        # enough pixels to fill the array (1.16-1.6x by family) but
+        # LOSES on small dispatches (768x1024 B=1: 9.28 ms bf16 vs
+        # 20.4 ms int8 — the quant/dequant epilogues dominate an
+        # unfilled MXU), so a latency-regime request serves fp and a
+        # throughput batch int8. Default rule: per-chip pixels per
+        # dispatch >= AUTO_INT8_MIN_PIXELS (shape-aware — the crossover
+        # moves with resolution); passing an int `auto_threshold` opts
+        # into the legacy per-chip-BATCH rule for callers that
+        # calibrated their own batch crossover.
         if quantize not in (False, True, "auto"):
             raise ValueError(f"quantize must be False, True or 'auto'; "
                              f"got {quantize!r}")
@@ -273,13 +292,49 @@ class VideoCounter:
                 b = max(math.ceil(b / self.n_shards), 1)
         return b
 
+    def _dispatch_pixels(self, frames: np.ndarray) -> int:
+        """Per-chip PIXELS the dispatched program computes — per-chip
+        batch x the spatial extent each batch element actually carries
+        (padded whole frame, a tile, or a spatial H-shard). This is the
+        MXU-fill proxy the int8/bf16 crossover tracks across shapes
+        (BENCH_NOTES round-5 crossover table)."""
+        b, h, w, _ = frames.shape
+        if self.tile_size and max(h, w) > self.tile_threshold:
+            t = self.tile_size
+            per_tile = t * t
+            n_tiles = math.ceil(h / t) * math.ceil(w / t)
+            if self.shard == "spatial" and self.n_shards > 1:
+                return b * math.ceil(n_tiles / self.n_shards) * per_tile
+            b *= n_tiles
+            if self.n_shards > 1 and self.shard == "batch":
+                b = math.ceil(b / self.n_shards)
+            return b * per_tile
+        hb = self.bucket
+        if self.shard == "spatial":
+            hb = math.lcm(self.bucket, self.n_shards)
+        bh = math.ceil(h / hb) * hb
+        bw = math.ceil(w / self.bucket) * self.bucket
+        if self.n_shards > 1:
+            if self.shard == "batch":
+                b = math.ceil(b / self.n_shards)
+            else:  # spatial: each chip computes 1/n of every frame's rows
+                bh = math.ceil(bh / self.n_shards)
+        return b * bh * bw
+
+    def _prefers_int8(self, frames: np.ndarray) -> bool:
+        """The auto-precision decision for this dispatch. Default:
+        shape-aware pixel rule; explicit int auto_threshold: legacy
+        per-chip-batch rule."""
+        if self.auto_threshold is not None:
+            return self._dispatch_batch(frames) >= self.auto_threshold
+        return self._dispatch_pixels(frames) >= AUTO_INT8_MIN_PIXELS
+
     def _select(self, frames: np.ndarray):
         """(infer, infer_tiled, weights) for this dispatch. Non-auto:
         the constructor precision. Auto: int8 once calibrated AND the
-        per-chip batch reaches auto_threshold, else fp."""
+        dispatch clears the crossover rule (_prefers_int8), else fp."""
         use_q = self.quantized is not None and (
-            not self.auto
-            or self._dispatch_batch(frames) >= self.auto_threshold)
+            not self.auto or self._prefers_int8(frames))
         # best-effort observability (exact under serve_http's single
         # dispatcher thread); surfaced as dispatch_fp/dispatch_int8 in
         # /stats and aggregated fleet-wide
@@ -293,7 +348,7 @@ class VideoCounter:
         for a latency-regime stream that would never dispatch int8."""
         if not self._quant_pending:
             return
-        if self.auto and self._dispatch_batch(frames) < self.auto_threshold:
+        if self.auto and not self._prefers_int8(frames):
             return
         self._build_quantized(frames)
 
@@ -304,7 +359,8 @@ class VideoCounter:
                         calib_frames: Optional[np.ndarray] = None,
                         tile_size: int = 768, tile_threshold: int = 4096,
                         mesh=None, shard: str = "batch", bucket: int = 64,
-                        auto_threshold: int = 8, **model_params):
+                        auto_threshold: Optional[int] = None,
+                        **model_params):
         import dgvcc_tpu.models  # noqa: F401
 
         model = MODELS.build(model_name, dtype=dtype, **model_params)

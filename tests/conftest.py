@@ -228,6 +228,22 @@ HEAVY = (
 )
 
 
+# Serving legs DELEGATED out of __graft_entry__.dryrun_multichip (see its
+# docstring): the dryrun's multi-chip SERVING claims are witnessed by these
+# heavy-lane tests instead of dryrun legs, so their existence is a contract.
+# pytest_collection_modifyitems asserts each still collects — renaming a
+# delegated test fails the suite loudly instead of silently dropping the
+# witness (VERDICT r4 item 8).
+DELEGATED_SERVING_LEGS = (
+    "test_serve_mesh.py::test_sharded_counts_match_single_device",
+    "test_serve_mesh.py::test_sharded_ragged_batch_pads_and_slices",
+    "test_serve_mesh.py::test_sharded_artifact_counts_match_single_device",
+    "test_serve_mesh.py::test_spatial_sharded_counts_match_single_device",
+    "test_serve_mesh.py::test_spatial_sharded_partitions_do_not_gather",
+    "test_quant_io.py::test_dg_artifact_roundtrip",
+)
+
+
 def pytest_addoption(parser):
     parser.addoption("--heavy", action="store_true", default=False,
                      help="also run the heavy (trace-bound) lane")
@@ -243,6 +259,17 @@ def pytest_collection_modifyitems(config, items):
     run_heavy = (config.getoption("--heavy")
                  or os.environ.get("RUN_HEAVY", "") not in ("", "0"))
     import pytest as _pytest
+
+    # enforce the dryrun→heavy-lane delegation contract whenever the
+    # full suite is collected (a targeted `pytest tests/test_x.py` run
+    # can't see the other files, so only check full collections)
+    if len({item.path for item in items}) > 3:
+        missing = [leg for leg in DELEGATED_SERVING_LEGS
+                   if not any(leg in item.nodeid for item in items)]
+        if missing:
+            raise _pytest.UsageError(
+                "delegated multi-chip serving legs missing from the "
+                f"suite (renamed? see __graft_entry__.py): {missing}")
 
     selected, deselected = [], []
     for item in items:

@@ -134,6 +134,30 @@ def test_int8_counts_track_fp(small_final):
     assert l2 / max(ref, 1e-6) < 0.2
 
 
+def test_weight_only_tracks_fp_without_calibration(small_final):
+    """weight_only=True: int8 weights dequantized at use, activations
+    bf16/fp — no calibration needed (calib_frames=None), no activation
+    quantize sites, and outputs track the folded-fp graph within weight
+    rounding noise (tighter than full int8: no activation rounding)."""
+    model, variables, x = small_final
+    q = QuantizedDG.from_model(model, variables, None, dtype=jnp.float32,
+                               fused_mem=False, weight_only=True)
+    assert q.weight_only and not q.scales  # no activation scales built
+    # every non-head site stores int8 weights
+    assert all("w8" in s for k, s in q.qparams["sites"].items()
+               if k not in ("den_head", "cls_conv2"))
+
+    d_wo, _ = q(x)
+    dfp, _ = fp_folded_forward(model, variables, x)
+    cnt = np.asarray(d_wo, np.float32).sum(axis=(1, 2, 3))
+    cntf = np.asarray(dfp, np.float32).sum(axis=(1, 2, 3))
+    rel = np.abs(cnt - cntf) / np.maximum(np.abs(cntf), 1e-6)
+    assert np.all(rel < 0.03), (cnt, cntf)
+    l2 = np.linalg.norm(np.asarray(d_wo, np.float32)
+                        - np.asarray(dfp, np.float32))
+    assert l2 / max(np.linalg.norm(np.asarray(dfp, np.float32)), 1e-6) < 0.1
+
+
 def test_quant_site_inventory(small_final):
     """Every conv site of the eval graph is folded; the 3x3 compute
     sites are all quantized (the tiny 1x1 heads stay fp)."""

@@ -357,6 +357,68 @@ def test_video_counter_auto_selection_logic():
     assert vc._select(small)[0] is vc._infer_q
 
 
+def test_auto_precision_pixel_rule_is_shape_aware():
+    """Default auto rule (auto_threshold=None) decides by per-chip
+    PIXELS per dispatch, so the crossover moves with resolution: the
+    same batch can be fp at a small frame and int8 at a large one
+    (VERDICT r4: a fixed batch threshold calibrated at 768x1024
+    mis-picks at other shapes)."""
+    from dgvcc_tpu.serve import AUTO_INT8_MIN_PIXELS, VideoCounter
+
+    vc = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
+                                      quantize="auto")
+    assert vc.auto_threshold is None
+
+    class FakeQ:
+        qparams = {"sites": {}}
+
+    vc.quantized, vc._quant_pending = FakeQ(), False
+
+    # B=1 768x1024 = 0.79 Mpx < crossover -> fp (the measured losing
+    # point); B=4 at the same shape = 3.1 Mpx -> int8
+    b1 = np.zeros((1, 768, 1024, 3), np.uint8)
+    b4 = np.zeros((4, 768, 1024, 3), np.uint8)
+    assert vc._dispatch_pixels(b1) == 768 * 1024
+    assert not vc._prefers_int8(b1)
+    assert vc._prefers_int8(b4)
+    assert vc._select(b1)[0] is vc._infer_fp
+    assert vc._select(b4)[0] is vc._infer_q
+
+    # a fixed batch rule calibrated at 768x1024 would send B=8 512^2
+    # and B=8 128^2 to the same precision; the pixel rule separates
+    # them (2.1 Mpx vs 0.13 Mpx)
+    big8 = np.zeros((8, 512, 512, 3), np.uint8)
+    tiny8 = np.zeros((8, 128, 128, 3), np.uint8)
+    assert vc._prefers_int8(big8)
+    assert not vc._prefers_int8(tiny8)
+
+    # a single giant frame clears the crossover alone: B=1 1088x1920 =
+    # 2.09 Mpx -> int8 (the latency-regime exception the batch rule
+    # got wrong by construction)
+    giant = np.zeros((1, 1088, 1920, 3), np.uint8)
+    assert vc._prefers_int8(giant)
+
+    # padding rounds UP to the bucket: 1 x 1000x1990 pads to 1024x2048
+    ragged = np.zeros((1, 1000, 1990, 3), np.uint8)
+    assert vc._dispatch_pixels(ragged) == 1024 * 2048
+
+    # mesh sharding divides per-chip pixels (accounting only)
+    vc.n_shards, vc.shard = 8, "batch"
+    assert vc._dispatch_pixels(b4) == 768 * 1024  # ceil(4/8)=1 frame
+    assert not vc._prefers_int8(b4)
+    vc.shard = "spatial"
+    assert vc._dispatch_pixels(b1) == (768 // 8) * 1024
+    assert not vc._prefers_int8(giant)  # 1/8 of the rows per chip
+
+    # tiled path: per-chip tiles x tile^2 pixels
+    vc.n_shards, vc.shard = 1, "batch"
+    vc.tile_size, vc.tile_threshold = 64, 96
+    t25 = np.zeros((1, 300, 300, 3), np.uint8)  # 25 tiles of 64^2
+    assert vc._dispatch_pixels(t25) == 25 * 64 * 64
+    assert AUTO_INT8_MIN_PIXELS > 25 * 64 * 64  # and the rule uses it
+    assert not vc._prefers_int8(t25)
+
+
 def test_dispatch_batch_accounts_for_mesh_sharding():
     """The auto threshold compares PER-CHIP batch: both shard modes
     divide the dispatch over the mesh (regression: spatial used to
