@@ -659,6 +659,152 @@ def ab_run_full_recipe(epochs: int = 20, lr: float = 1e-3,
     return rows
 
 
+def ab_run_bay(epochs: int = 12, lr: float = 1e-5, seed: int = 0,
+               crop: int = 64):
+    """Bayesian-loss TRAINING A/B (VERDICT r4 item 5): BL-VGG trained
+    end-to-end with the Bayesian loss — the reference's Post_Prob +
+    Bay_Loss (losses/bl.py) consumed through the dgtrainer BL branch
+    semantics (dgtrainer.py:59-64: loss(gts, st_sizes, targs, pred))
+    vs our PRODUCTION components: the bay dataset's padded point
+    batches through build_train_step('simple') + the registered 'bl'
+    loss (losses/bayesian.py). Identical init weights (converter),
+    identical batches (both consume the padded bay loader output; the
+    torch side unpads via pt_mask), SGD both sides.
+
+    This closes the gap the loss-level torch goldens leave open:
+    gradient flow through the posterior matmul + 90%-trim topk under a
+    real optimizer. log_para=1 (the reference's BL recipe trains the
+    raw density; BENCH_NOTES 'bay caveat')."""
+    import numpy as np
+    import torch
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import optax
+
+    from reference_oracle import ref_import
+    import dgvcc_tpu.models  # noqa: F401
+    import dgvcc_tpu.losses  # noqa: F401
+    from dgvcc_tpu.core.registry import DATASETS, LOSSES, MODELS
+    from dgvcc_tpu.data.loader import DataLoader
+    from dgvcc_tpu.nn.torch_io import load_reference_checkpoint
+    import dgvcc_tpu.data  # noqa: F401
+
+    torch.manual_seed(seed)
+    ref = ref_import("models.baselines.BL").BL_VGG(pretrained=False)
+    tbl = ref_import("losses.bl").BL(
+        sigma=8.0, c_size=crop, stride=8, background_ratio=0.15,
+        use_background=True, device="cpu")
+
+    root = tempfile.mkdtemp(prefix="ab_bay_")
+    build_data(root, seed)
+    train = DATASETS.build("bay", method="train", root=root,
+                           crop_size=crop, downsample=8, unit_size=16)
+    val_ds = DATASETS.build("den", method="val", root=root, crop_size=crop,
+                            downsample=8, unit_size=16)
+    loader = DataLoader(train, batch_size=8, shuffle=True, seed=seed)
+
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    model = MODELS.build("bl", pretrained=False)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   jnp.zeros((1, crop, crop, 3)), train=False)
+    v2 = load_reference_checkpoint(dict(v), sd, model)
+    params = v2["params"]
+
+    jloss = LOSSES.build("bl", sigma=8.0, c_size=crop, stride=8,
+                         background_ratio=0.15, use_background=True)
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+    # the PRODUCTION loss path: _count_loss's BL branch inside the
+    # 'simple' fused step would also update (empty) batch_stats; BL-VGG
+    # is norm-free so drive the loss function directly through the same
+    # dispatch the trainer uses (train/steps.py::_count_loss)
+    from dgvcc_tpu.train.steps import _count_loss
+
+    @jax.jit
+    def jstep(params, opt_state, batch):
+        def f(p):
+            pred = model.apply({"params": p}, batch["img1"], train=False)
+            return _count_loss(jloss, pred, batch, 1.0)
+
+        loss, g = jax.value_and_grad(f)(params)
+        updates, opt_state2 = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def jpred(params, img):
+        return jnp.sum(model.apply({"params": params}, img, train=False))
+
+    topt = torch.optim.SGD(ref.parameters(), lr=lr)
+
+    def torch_step(batch):
+        x = torch.tensor(np.ascontiguousarray(
+            np.transpose(batch["img1"], (0, 3, 1, 2)), np.float32))
+        # unpad: the reference consumes ragged per-image point/target
+        # lists (bay_crowd_dataset collate, train_helper.py)
+        gts, targs = [], []
+        for i in range(x.shape[0]):
+            m = batch["pt_mask"][i]
+            gts.append(torch.tensor(batch["points"][i][m], dtype=torch.float32))
+            targs.append(torch.tensor(batch["targets"][i][m],
+                                      dtype=torch.float32))
+        st = torch.tensor(np.asarray(batch["st_sizes"], np.float32))
+        topt.zero_grad()
+        pred = ref(x)
+        lv = tbl(gts, st, targs, pred)
+        lv.backward()
+        topt.step()
+        return float(lv.detach())
+
+    def val_mae():
+        ref.eval()
+        tm, jm = [], []
+        for i in range(len(val_ds)):
+            s = val_ds[i]
+            gt = len(s["gt"])
+            img = s["img1"][None]
+            with torch.no_grad():
+                tp = float(ref(torch.tensor(np.ascontiguousarray(
+                    np.transpose(img, (0, 3, 1, 2))))).sum())
+            jp = float(jpred(params, jnp.asarray(img)))
+            tm.append(abs(tp - gt))
+            jm.append(abs(jp - gt))
+        ref.train()
+        return float(np.mean(tm)), float(np.mean(jm))
+
+    print(f"bayesian A/B (BL-VGG + Post_Prob/Bay_Loss end-to-end, SGD "
+          f"lr={lr}, {epochs} epochs, crop {crop}, stride 8)")
+    print(f"{'epoch':>5} {'torch loss':>11} {'tpu loss':>11} "
+          f"{'torch MAE':>10} {'tpu MAE':>10}")
+    rows = []
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        tl = jl = 0.0
+        nb = 0
+        for batch in loader:
+            b = {k: np.asarray(v) for k, v in batch.items()}
+            tl += torch_step(b)
+            jb = {"img1": jnp.asarray(b["img1"], jnp.float32),
+                  "points": jnp.asarray(b["points"], jnp.float32),
+                  "pt_mask": jnp.asarray(b["pt_mask"]),
+                  "targets": jnp.asarray(b["targets"], jnp.float32),
+                  "st_sizes": jnp.asarray(b["st_sizes"], jnp.float32)}
+            params, opt_state, l2 = jstep(params, opt_state, jb)
+            jl += float(l2)
+            nb += 1
+        tmae, jmae = val_mae()
+        rows.append((epoch, tl / nb, jl / nb, tmae, jmae))
+        print(f"{epoch:5d} {tl / nb:11.4f} {jl / nb:11.4f} "
+              f"{tmae:10.3f} {jmae:10.3f}", flush=True)
+    t3 = np.mean([r[3] for r in rows[-3:]])
+    j3 = np.mean([r[4] for r in rows[-3:]])
+    print(f"\nfinal-3-epoch mean val MAE: torch {t3:.3f} | "
+          f"dgvcc_tpu {j3:.3f}")
+    return rows
+
+
 if __name__ == "__main__":
     # the harness is a CPU numerics-identity tool (docstring) — run
     # standalone it must NOT land on the TPU relay (the env pins
@@ -670,7 +816,7 @@ if __name__ == "__main__":
     ap.add_argument("--family", default="mcnn",
                     choices=["mcnn", "bl", "dg_base", "ibn", "sw", "isw",
                              "sw_vgg", "csrnet", "dssinet", "sasnet",
-                             "cctrans", "full_recipe"])
+                             "cctrans", "full_recipe", "bay"])
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
@@ -680,5 +826,7 @@ if __name__ == "__main__":
         ab_run_isw(a.epochs, a.lr, a.seed, a.optimizer)
     elif a.family == "full_recipe":
         ab_run_full_recipe(epochs=a.epochs, seed=a.seed)
+    elif a.family == "bay":
+        ab_run_bay(epochs=a.epochs, lr=a.lr, seed=a.seed)
     else:
         ab_run(a.family, a.epochs, a.lr, a.seed, a.optimizer)

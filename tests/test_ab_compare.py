@@ -130,3 +130,18 @@ def test_ab_lockstep_sw_sgd():
     (epoch, tl, jl, tmae, jmae), = rows
     assert abs(tl - jl) / max(abs(tl), 1e-6) < 2e-3, (tl, jl)
     assert abs(tmae - jmae) < 0.05, (tmae, jmae)
+
+
+@pytest.mark.heavy
+def test_ab_lockstep_bay():
+    """Bayesian-loss TRAINING lockstep: BL-VGG + Post_Prob/Bay_Loss
+    end-to-end vs the reference BL branch (dgtrainer.py:59-64) — the
+    padded-point posterior matmul + 90%-trim topk under SGD gradient
+    flow, not just the loss-level torch goldens."""
+    import ab_compare
+
+    rows = ab_compare.ab_run_bay(epochs=2, lr=1e-5, seed=3)
+    assert len(rows) == 2
+    for epoch, tl, jl, tmae, jmae in rows:
+        assert abs(tl - jl) / max(abs(tl), 1e-6) < 1e-3, (epoch, tl, jl)
+        assert abs(tmae - jmae) < 0.05, (epoch, tmae, jmae)
