@@ -1,0 +1,147 @@
+"""CCTrans int8 at 768x1024 via the AOT artifact path (VERDICT r4 item 2).
+
+The relay's remote-compile request cap (HTTP 413) blocked jit-compiling
+the int8 alt_gvt program at 768x1024 in round 4. This script tries the
+in-repo AOT route instead: lower + serialize the serving program
+CROSS-PLATFORM on the CPU host (jax.export, nn/aot.py), then execute
+the artifact on the chip. If the artifact upload trips the same
+transport cap, the recorded byte sizes are the documented proof.
+
+Phases (separate processes — the export must not touch the TPU):
+    python scripts/aot_cctrans.py export [--out /tmp/cctrans_aot]
+        lowers fp-bf16 and int8 serving programs for 768x1024 B=8
+        (+ 512x512 B=8 as the known-good control) and reports sizes
+    python scripts/aot_cctrans.py run [--out ...] [--shape 768x1024x8]
+        loads the artifacts on the TPU and measures fps for both
+        precisions (per-call readback, relay-RTT subtracted, median 7)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def do_export(out: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.aot import export_serving, save_aot
+    from dgvcc_tpu.serve import VideoCounter
+
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 256, (2, 256, 256, 3), dtype=np.uint8)
+
+    for tag, quant in (("bf16", False), ("int8", True)):
+        model = MODELS.build("cctrans", dtype=jnp.bfloat16)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 256, 256, 3), jnp.bfloat16))
+        t0 = time.time()
+        counter = VideoCounter(model, variables, quantize=quant,
+                               calib_frames=calib if quant else None)
+        doc = export_serving(counter, shapes=[(8, 512, 512),
+                                              (8, 768, 1024)],
+                             platforms=["tpu", "cpu"])
+        path = os.path.join(out, f"cctrans_{tag}.aot")
+        save_aot(doc, path)
+        sizes = {k: len(v) for k, v in doc["programs"].items()}
+        print(json.dumps({"row": "export", "precision": tag,
+                          "seconds": round(time.time() - t0, 1),
+                          "program_bytes": sizes,
+                          "file_bytes": os.path.getsize(path)}),
+              flush=True)
+
+
+def do_run(out: str, shapes):
+    import jax
+    import jax.numpy as jnp
+
+    from dgvcc_tpu.nn.aot import AotCounter
+
+    dev = jax.devices()[0]
+    print(json.dumps({"row": "device",
+                      "backend": jax.default_backend(),
+                      "platform": dev.platform,
+                      "kind": dev.device_kind}), flush=True)
+
+    @jax.jit
+    def trivial(x):
+        return x.astype(jnp.float32).sum()
+
+    rng = np.random.default_rng(0)
+    probe = jnp.asarray(rng.normal(size=(8, 768, 1024, 3)), jnp.bfloat16)
+    float(trivial(probe))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(probe))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(json.dumps({"row": "rtt", "value_s": round(rtt, 4)}), flush=True)
+
+    for tag in ("bf16", "int8"):
+        path = os.path.join(out, f"cctrans_{tag}.aot")
+        try:
+            counter = AotCounter.load(path)
+        except Exception as e:
+            print(json.dumps({"row": "load", "precision": tag,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
+        for (h, w, b) in shapes:
+            frames = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+            try:
+                t0 = time.time()
+                counter.count_frames(frames)  # compile/upload + warm
+                warm = time.time() - t0
+                ts = []
+                for _ in range(7):
+                    t0 = time.perf_counter()
+                    c = counter.count_frames(frames)
+                    ts.append(time.perf_counter() - t0)
+                dt = max(float(np.median(ts)) - rtt, 1e-6)
+                print(json.dumps({
+                    "row": "fps", "precision": tag,
+                    "shape": f"{h}x{w}", "B": b,
+                    "warm_s": round(warm, 1),
+                    "ms_per_frame": round(dt / b * 1e3, 2),
+                    "fps": round(b / dt, 1),
+                    "count0": round(float(np.asarray(c)[0]), 4)}),
+                    flush=True)
+            except Exception as e:
+                print(json.dumps({"row": "fps", "precision": tag,
+                                  "shape": f"{h}x{w}", "B": b,
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["export", "run"])
+    ap.add_argument("--out", default="/tmp/cctrans_aot")
+    ap.add_argument("--shapes", nargs="*", default=["512x512x8",
+                                                    "768x1024x8"])
+    args = ap.parse_args()
+    if args.phase == "export":
+        do_export(args.out)
+    else:
+        shapes = [tuple(int(v) for v in s.split("x")) for s in args.shapes]
+        do_run(args.out, shapes)
+
+
+if __name__ == "__main__":
+    main()
