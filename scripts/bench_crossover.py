@@ -103,8 +103,12 @@ def main(selected):
         return not selected or section in selected
 
     # one model + variables + quantized graph, shared across the grid
-    # (activation scales are shape-independent per-site absmaxes)
-    model = MODELS.build("final", dtype=jnp.bfloat16)
+    # (activation scales are shape-independent per-site absmaxes).
+    # fused_mem matches bench.py's bf16 headline config so the fp and
+    # int8 graphs use the SAME Pallas memory attention — otherwise the
+    # ratio would credit int8 with the +14% fused-attention win too.
+    on_tpu = jax.default_backend() != "cpu"
+    model = MODELS.build("final", dtype=jnp.bfloat16, fused_mem=on_tpu)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.zeros((1, 256, 256, 3), jnp.bfloat16))
@@ -188,27 +192,30 @@ def main(selected):
                     127), jnp.int8)
         dn = ("NHWC", "HWIO", "NHWC")
 
-        def conv_chain(dtype, kern, preferred):
+        # CHAINED convs (each iteration consumes the last output) so
+        # XLA cannot hoist the loop-invariant conv out of the loop; the
+        # int8 chain pays one int32->int8 cast per layer — the same
+        # class of epilogue a real requantizing graph pays.
+        def conv_chain(to_int8):
             def run(k, x):
-                def body(x, _):
+                def body(i, x):
                     y = jax.lax.conv_general_dilated(
                         x, k, (1, 1), "SAME", dimension_numbers=dn,
-                        preferred_element_type=preferred)
-                    out = jnp.sum(y.astype(jnp.float32))
-                    return x, out
-                _, outs = jax.lax.scan(body, x, None, length=8)
-                return outs.sum()
-            return jax.jit(run), kern
+                        preferred_element_type=(jnp.int32 if to_int8
+                                                else None))
+                    return (y.astype(jnp.int8) if to_int8
+                            else y.astype(jnp.bfloat16))
+                xn = jax.lax.fori_loop(0, 8, body, x)
+                return jnp.sum(xn.astype(jnp.float32))
+            return jax.jit(run)
 
         for B, h, w in ((1, 768, 1024), (16, 192, 256)):
             x_b = jnp.asarray(rng.normal(size=(B, h, w, C)), jnp.bfloat16)
             x_8 = jnp.asarray(
                 np.clip(np.rint(rng.normal(size=(B, h, w, C)) * 20), -127,
                         127), jnp.int8)
-            fn_b, _ = conv_chain(jnp.bfloat16, kb, None)
-            fn_8, _ = conv_chain(jnp.int8, k8, jnp.int32)
-            t_b = timed(fn_b, kb, x_b) / 8
-            t_8 = timed(fn_8, k8, x_8) / 8
+            t_b = timed(conv_chain(False), kb, x_b) / 8
+            t_8 = timed(conv_chain(True), k8, x_8) / 8
             emit({"row": "microconv", "B": B, "hw": f"{h}x{w}", "ch": C,
                   "bf16_ms": round(t_b * 1e3, 3),
                   "int8_ms": round(t_8 * 1e3, 3),
