@@ -182,7 +182,15 @@ class AotCounter:
         self._by_hw: Dict[Tuple[int, int], List[int]] = {}
         for key, blob in doc["programs"].items():
             b, h, w = (int(x) for x in key.split("x"))
-            self._programs[(b, h, w)] = jexport.deserialize(bytearray(blob))
+            exp = jexport.deserialize(bytearray(blob))
+            # jit the exported call ONCE per program: Exported.call is
+            # a plain traceable function, so calling it directly would
+            # re-trace the whole deserialized module on EVERY dispatch
+            # (measured: ~0.5-0.8 s/call of pure host tracing on the
+            # big ViT artifacts — 4-5x throughput loss). Under jit the
+            # trace+compile happens once and later dispatches hit the
+            # executable cache.
+            self._programs[(b, h, w)] = jax.jit(exp.call)
             self._by_hw.setdefault((h, w), []).append(b)
         for sizes in self._by_hw.values():
             sizes.sort()
@@ -221,7 +229,7 @@ class AotCounter:
             valid = np.zeros((bexp, 2), np.int32)
             valid[:n] = (h, w)
             _, prog = self._resolve(bexp, bh, bw)
-            futs.append((prog.call(self.weights, padded, valid), n))
+            futs.append((prog(self.weights, padded, valid), n))
         return futs
 
     def count_frames(self, frames: np.ndarray) -> np.ndarray:

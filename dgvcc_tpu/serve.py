@@ -26,18 +26,24 @@ import numpy as np
 
 from dgvcc_tpu.core.registry import MODELS
 
-# Int8-vs-bf16 crossover for quantize="auto", in per-chip PIXELS per
-# dispatch (per-chip batch x padded/tile spatial size). The crossover is
-# an MXU-fill property, so it moves with resolution as well as batch —
-# a fixed batch threshold calibrated at 768x1024 mis-picks at other
-# shapes (VERDICT r4). Calibrated from the measured v5e crossover table
-# (BENCH_NOTES.md "Round 5: int8/bf16 crossover"): int8 loses at
-# 768x1024 B=1 (0.79 Mpx, 0.45x) and B=2 (1.6 Mpx, 0.96x), wins from
-# B=3-4 (2.4-3.1 Mpx) and at every measured shape >= 2 Mpx (512^2 B>=8,
-# 1088x1920 B>=1). 2.0 Mpx sits in the measured gap between the last
-# losing point and the first winning point at both calibrated aspect
-# ratios.
-AUTO_INT8_MIN_PIXELS = 2_000_000
+# Int8-vs-bf16 crossover for quantize="auto", calibrated from the
+# measured v5e shape x batch grid (BENCH_NOTES.md "Round 5: int8/bf16
+# crossover table"). The decisive axis is the dispatched program's
+# per-chip BATCH dimension, nearly independent of resolution: every
+# measured B>=4 point wins (512^2 1.10x, 768x1024 1.05x, 1088x1920
+# 1.05x at B=4; 1.4-1.6x by B=8-16) and every B<=3 point loses — even
+# a 2.1-Mpx single 1080p frame runs int8 at 0.66x bf16, while a bare
+# int8 conv chain at the same B=1 shape is 2.0x FASTER than bf16
+# (microconv row): the penalty is batch-dependent requantize-chain
+# fusion, not MXU fill. The PER-ELEMENT pixel floor guards the
+# tiny-frame corner: a small frame collapses to single-digit spatial
+# dims in the deep stages (128^2 is 8x8 at stride 16), the same
+# low-fill regime that made low-channel conv sites net-slower
+# (BENCH_NOTES round 3). Floor calibrated by the small-shape sweep
+# (smallgrid rows): 256^2 frames win from B=4 while 128^2 loses at
+# every batch, so the floor sits in (128^2, 256^2] per element.
+AUTO_INT8_MIN_BATCH = 4
+AUTO_INT8_MIN_PIXELS = 65_536  # per element (frame / tile / H-shard)
 
 
 class VideoCounter:
@@ -88,17 +94,14 @@ class VideoCounter:
         self.tile_size = tile_size
         self.tile_threshold = tile_threshold
         # quantize="auto": keep BOTH serving graphs and pick per dispatch
-        # by the work the MXU actually sees. Measured on v5e (BENCH_NOTES
-        # rounds 4-5): int8 wins once the per-chip dispatch carries
-        # enough pixels to fill the array (1.16-1.6x by family) but
-        # LOSES on small dispatches (768x1024 B=1: 9.28 ms bf16 vs
-        # 20.4 ms int8 — the quant/dequant epilogues dominate an
-        # unfilled MXU), so a latency-regime request serves fp and a
-        # throughput batch int8. Default rule: per-chip pixels per
-        # dispatch >= AUTO_INT8_MIN_PIXELS (shape-aware — the crossover
-        # moves with resolution); passing an int `auto_threshold` opts
-        # into the legacy per-chip-BATCH rule for callers that
-        # calibrated their own batch crossover.
+        # by the measured crossover law (see AUTO_INT8_MIN_BATCH above):
+        # int8 once the dispatched program's batch dimension reaches 4
+        # AND the dispatch clears the tiny-frame pixel floor; bf16 for
+        # latency-regime dispatches, where int8 measures 0.6-0.9x bf16
+        # (B<=3 at every resolution up to 1080p — BENCH_NOTES round-5
+        # crossover table). Passing an int `auto_threshold` opts into
+        # the plain per-chip-batch rule at that threshold for callers
+        # that calibrated their own crossover.
         if quantize not in (False, True, "auto"):
             raise ValueError(f"quantize must be False, True or 'auto'; "
                              f"got {quantize!r}")
@@ -292,23 +295,26 @@ class VideoCounter:
                 b = max(math.ceil(b / self.n_shards), 1)
         return b
 
-    def _dispatch_pixels(self, frames: np.ndarray) -> int:
-        """Per-chip PIXELS the dispatched program computes — per-chip
-        batch x the spatial extent each batch element actually carries
-        (padded whole frame, a tile, or a spatial H-shard). This is the
-        MXU-fill proxy the int8/bf16 crossover tracks across shapes
-        (BENCH_NOTES round-5 crossover table)."""
+    def _dispatch_geometry(self, frames: np.ndarray):
+        """(batch_dim, elem_pixels) of the per-chip dispatched program —
+        the two measured axes of the int8/bf16 crossover. batch_dim is
+        the LITERAL batch dimension the convolutions see (frames,
+        tiles, or the per-chip frame share under batch sharding — under
+        spatial sharding the batch dim survives intact and only rows
+        split); elem_pixels is the spatial extent each batch element
+        carries (padded frame, tile, or H-shard)."""
         b, h, w, _ = frames.shape
         if self.tile_size and max(h, w) > self.tile_threshold:
             t = self.tile_size
-            per_tile = t * t
             n_tiles = math.ceil(h / t) * math.ceil(w / t)
             if self.shard == "spatial" and self.n_shards > 1:
-                return b * math.ceil(n_tiles / self.n_shards) * per_tile
-            b *= n_tiles
-            if self.n_shards > 1 and self.shard == "batch":
-                b = math.ceil(b / self.n_shards)
-            return b * per_tile
+                # the tile dim shards over the mesh
+                bd = b * math.ceil(n_tiles / self.n_shards)
+            elif self.n_shards > 1 and self.shard == "batch":
+                bd = math.ceil(b * n_tiles / self.n_shards)
+            else:
+                bd = b * n_tiles
+            return bd, t * t
         hb = self.bucket
         if self.shard == "spatial":
             hb = math.lcm(self.bucket, self.n_shards)
@@ -317,17 +323,19 @@ class VideoCounter:
         if self.n_shards > 1:
             if self.shard == "batch":
                 b = math.ceil(b / self.n_shards)
-            else:  # spatial: each chip computes 1/n of every frame's rows
+            else:  # spatial: batch dim intact, each chip gets 1/n rows
                 bh = math.ceil(bh / self.n_shards)
-        return b * bh * bw
+        return b, bh * bw
 
     def _prefers_int8(self, frames: np.ndarray) -> bool:
-        """The auto-precision decision for this dispatch. Default:
-        shape-aware pixel rule; explicit int auto_threshold: legacy
-        per-chip-batch rule."""
+        """The auto-precision decision for this dispatch. Default: the
+        measured two-axis law (batch_dim >= 4 AND per-element pixels
+        above the tiny-frame floor); explicit int auto_threshold:
+        legacy per-chip-batch rule."""
         if self.auto_threshold is not None:
             return self._dispatch_batch(frames) >= self.auto_threshold
-        return self._dispatch_pixels(frames) >= AUTO_INT8_MIN_PIXELS
+        bd, epx = self._dispatch_geometry(frames)
+        return bd >= AUTO_INT8_MIN_BATCH and epx >= AUTO_INT8_MIN_PIXELS
 
     def _select(self, frames: np.ndarray):
         """(infer, infer_tiled, weights) for this dispatch. Non-auto:

@@ -169,6 +169,26 @@ def main(selected):
                           "auto_correct": auto_pick == faster})
                 del frames
 
+    if want("smallgrid"):
+        # tiny-frame floor sweep: B>=4 everywhere (the batch axis is
+        # satisfied), pixels shrink — brackets AUTO_INT8_MIN_PIXELS
+        for (H, W), batches in (((256, 256), (4, 8, 16)),
+                                ((128, 128), (8, 16, 32))):
+            for B in batches:
+                frames = jnp.asarray(
+                    rng.normal(size=(B, H, W, 3)), jnp.bfloat16)
+                res = {}
+                for prec, (fn, arg) in variants.items():
+                    dt = timed(fn, arg, frames)
+                    res[prec] = dt / (B * K) * 1e3
+                emit({"row": "smallgrid", "shape": f"{H}x{W}", "B": B,
+                      "px_per_dispatch": B * H * W,
+                      "bf16_ms_per_frame": round(res["bf16"], 3),
+                      "int8_ms_per_frame": round(res["int8"], 3),
+                      "int8_speedup": round(res["bf16"] / res["int8"], 3),
+                      "faster": min(res, key=res.get)})
+                del frames
+
     if want("weightonly"):
         for B in (1, 4):
             H, W = 768, 1024

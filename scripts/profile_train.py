@@ -216,6 +216,43 @@ def main():
     patched("dropout_identity", drop=lambda x, p, r: x,
             note="masked dropout removed (mask multiply kept)")
 
+    # --- per-stage BACKWARD attribution via stop-gradient ablation ----
+    # fwd_only showed the step is ~87% backward; these variants cut the
+    # backward off at stage boundaries (stop_gradient on a stage's
+    # output kills that stage's and all upstream wgrad/dgrad work while
+    # the forward is unchanged), so deltas attribute bwd per stage.
+    from dgvcc_tpu.nn import vgg as vggmod
+
+    orig_vgg_call = vggmod.VGGFeatures.__call__
+
+    def sg_variant(tag, sg_names, note):
+        if want and tag not in want:
+            return
+
+        def patched_call(self, x, train=False):
+            y = orig_vgg_call(self, x, train)
+            if self.name in sg_names:
+                y = jax.lax.stop_gradient(y)
+            return y
+
+        try:
+            vggmod.VGGFeatures.__call__ = patched_call
+            emit(tag, timed(full_step(), state), note)
+        except Exception as e:
+            print(json.dumps({"row": tag,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+        finally:
+            vggmod.VGGFeatures.__call__ = orig_vgg_call
+
+    sg_variant("sg_enc1", {"enc1"},
+               "no bwd through stage-1 (64ch, full-res) — delta = its "
+               "wgrad+dgrad cost")
+    sg_variant("sg_enc12", {"enc1", "enc2"},
+               "no bwd through stages 1-2")
+    sg_variant("sg_enc_all", {"enc1", "enc2", "enc3"},
+               "encoder fwd only; bwd covers decoder+heads+chain")
+
     # --- XLA cost analysis of the full step ---------------------------
     if not want or "cost" in want:
         try:

@@ -357,13 +357,14 @@ def test_video_counter_auto_selection_logic():
     assert vc._select(small)[0] is vc._infer_q
 
 
-def test_auto_precision_pixel_rule_is_shape_aware():
-    """Default auto rule (auto_threshold=None) decides by per-chip
-    PIXELS per dispatch, so the crossover moves with resolution: the
-    same batch can be fp at a small frame and int8 at a large one
-    (VERDICT r4: a fixed batch threshold calibrated at 768x1024
-    mis-picks at other shapes)."""
-    from dgvcc_tpu.serve import AUTO_INT8_MIN_PIXELS, VideoCounter
+def test_auto_precision_default_rule_matches_measured_crossover():
+    """Default auto rule (auto_threshold=None) applies the measured
+    two-axis law (BENCH_NOTES round-5 crossover table): int8 only when
+    the dispatched program's batch dimension reaches 4 AND the dispatch
+    clears the tiny-frame pixel floor. Every assertion below mirrors a
+    measured grid point (or the floor's bracketing points)."""
+    from dgvcc_tpu.serve import (AUTO_INT8_MIN_BATCH,
+                                 AUTO_INT8_MIN_PIXELS, VideoCounter)
 
     vc = VideoCounter.from_checkpoint("base", None, dtype=jnp.float32,
                                       quantize="auto")
@@ -374,49 +375,61 @@ def test_auto_precision_pixel_rule_is_shape_aware():
 
     vc.quantized, vc._quant_pending = FakeQ(), False
 
-    # B=1 768x1024 = 0.79 Mpx < crossover -> fp (the measured losing
-    # point); B=4 at the same shape = 3.1 Mpx -> int8
+    # measured: 768x1024 loses at B<=3 (0.64-0.91x), wins from B=4
     b1 = np.zeros((1, 768, 1024, 3), np.uint8)
+    b3 = np.zeros((3, 768, 1024, 3), np.uint8)
     b4 = np.zeros((4, 768, 1024, 3), np.uint8)
-    assert vc._dispatch_pixels(b1) == 768 * 1024
+    assert vc._dispatch_geometry(b1) == (1, 768 * 1024)
     assert not vc._prefers_int8(b1)
+    assert not vc._prefers_int8(b3)
     assert vc._prefers_int8(b4)
     assert vc._select(b1)[0] is vc._infer_fp
     assert vc._select(b4)[0] is vc._infer_q
 
-    # a fixed batch rule calibrated at 768x1024 would send B=8 512^2
-    # and B=8 128^2 to the same precision; the pixel rule separates
-    # them (2.1 Mpx vs 0.13 Mpx)
-    big8 = np.zeros((8, 512, 512, 3), np.uint8)
-    tiny8 = np.zeros((8, 128, 128, 3), np.uint8)
-    assert vc._prefers_int8(big8)
-    assert not vc._prefers_int8(tiny8)
-
-    # a single giant frame clears the crossover alone: B=1 1088x1920 =
-    # 2.09 Mpx -> int8 (the latency-regime exception the batch rule
-    # got wrong by construction)
+    # measured: a single 2.1-Mpx 1080p frame STILL loses (0.66x) — the
+    # batch axis dominates, pixels alone cannot trigger int8
     giant = np.zeros((1, 1088, 1920, 3), np.uint8)
-    assert vc._prefers_int8(giant)
+    assert not vc._prefers_int8(giant)
+
+    # measured floor bracketing (smallgrid rows): 256^2 frames win from
+    # B=4, 128^2 frames lose at every batch -> the PER-ELEMENT floor
+    # separates them (note their per-dispatch totals can be EQUAL:
+    # 4x256^2 == 16x128^2 pixels — only the per-element size divides)
+    assert vc._prefers_int8(np.zeros((4, 256, 256, 3), np.uint8))
+    assert not vc._prefers_int8(np.zeros((16, 128, 128, 3), np.uint8))
+    assert 128 * 128 < AUTO_INT8_MIN_PIXELS <= 256 * 256
 
     # padding rounds UP to the bucket: 1 x 1000x1990 pads to 1024x2048
     ragged = np.zeros((1, 1000, 1990, 3), np.uint8)
-    assert vc._dispatch_pixels(ragged) == 1024 * 2048
+    assert vc._dispatch_geometry(ragged) == (1, 1024 * 2048)
 
-    # mesh sharding divides per-chip pixels (accounting only)
+    # batch sharding divides the batch dim: 4 frames over 8 chips ->
+    # per-chip batch 1 -> fp
     vc.n_shards, vc.shard = 8, "batch"
-    assert vc._dispatch_pixels(b4) == 768 * 1024  # ceil(4/8)=1 frame
+    assert vc._dispatch_geometry(b4) == (1, 768 * 1024)
     assert not vc._prefers_int8(b4)
+    # spatial sharding keeps the batch dim intact (only rows split):
+    # 8 x 768x1024 over 8 chips is still a batch-8 program per chip
     vc.shard = "spatial"
-    assert vc._dispatch_pixels(b1) == (768 // 8) * 1024
-    assert not vc._prefers_int8(giant)  # 1/8 of the rows per chip
+    b8 = np.zeros((8, 768, 1024, 3), np.uint8)
+    bd, epx = vc._dispatch_geometry(b8)
+    assert bd == 8 and epx == (768 // 8) * 1024
+    assert vc._prefers_int8(b8)
+    assert not vc._prefers_int8(b1)  # B=1 spatial: batch dim 1
 
-    # tiled path: per-chip tiles x tile^2 pixels
+    # tiled path: tiles ARE the batch dim; 25 tiny tiles pass the batch
+    # axis but each 64^2 tile sits under the per-element floor
     vc.n_shards, vc.shard = 1, "batch"
     vc.tile_size, vc.tile_threshold = 64, 96
     t25 = np.zeros((1, 300, 300, 3), np.uint8)  # 25 tiles of 64^2
-    assert vc._dispatch_pixels(t25) == 25 * 64 * 64
-    assert AUTO_INT8_MIN_PIXELS > 25 * 64 * 64  # and the rule uses it
+    assert vc._dispatch_geometry(t25) == (25, 64 * 64)
+    assert 25 >= AUTO_INT8_MIN_BATCH
     assert not vc._prefers_int8(t25)
+    # production-size tiles clear both axes: 4 tiles of 768^2
+    vc.tile_size, vc.tile_threshold = 768, 1024
+    t4 = np.zeros((1, 1536, 1536, 3), np.uint8)
+    assert vc._dispatch_geometry(t4) == (4, 768 * 768)
+    assert vc._prefers_int8(t4)
 
 
 def test_dispatch_batch_accounts_for_mesh_sharding():
