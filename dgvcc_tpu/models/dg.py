@@ -74,7 +74,13 @@ class MemoryBank(nn.Module):
         ).astype(self.dtype)
         y_flat = y.reshape(b, h * w, k)
 
-        if self.fused and not need_logits and self.tp_axis is None:
+        # fused path only from batch 4: the kernel wins +15% at B>=4
+        # (1.11 ms/frame at B=16 768x1024) but integrates 40% SLOWER at
+        # B=1 (13.1 vs 9.4 ms/frame; B=2 also loses) — measured on v5e,
+        # BENCH_NOTES round 5 "fused memory attention batch crossover".
+        # b is static at trace time, so each batch bucket gets the
+        # faster graph with no runtime branch.
+        if self.fused and b >= 4 and not need_logits and self.tp_axis is None:
             # fused VMEM-resident attention (ops/mem_attention.py): skips
             # materializing the (B, P, S) attention tensor in HBM
             from dgvcc_tpu.ops.mem_attention import memory_attention_fused

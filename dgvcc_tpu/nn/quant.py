@@ -334,7 +334,9 @@ class QuantizedDG:
             mem = qparams["mem"]
             b, h, w, k = y_den.shape
             y_flat = y_den.reshape(b, h * w, k)
-            if self.fused_mem:
+            # batch-conditional like MemoryBank: the fused kernel
+            # integrates slower below B=4 (measured, BENCH_NOTES r5)
+            if self.fused_mem and b >= 4:
                 from dgvcc_tpu.ops.mem_attention import memory_attention_fused
                 y_flat = memory_attention_fused(y_flat, mem)
             else:

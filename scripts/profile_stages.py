@@ -70,15 +70,42 @@ def main():
         q = QuantizedDG.from_model(model, variables, calib,
                                    fused_mem=not args.cpu)
 
+        from dgvcc_tpu.nn.layers import upsample as _up
+
         def m_enc(f):
             x1, x2, x3 = q._encoder(q.qparams, f.astype(q.dtype))
             return sum(t.astype(jnp.float32).sum() for t in (x1, x2, x3))
+
+        def _dec(qp, f):
+            # mirrors QuantizedDG._forward's decoder block exactly
+            x1, x2, x3 = q._encoder(qp, f.astype(q.dtype))
+            y = q._qconv(qp, x3, "dec3_0")
+            y = q._qconv(qp, y, "dec3_1")
+            y3 = y
+            y = q._qconv(qp, [_up(y, 2), x2], "dec2_0")
+            y = q._qconv(qp, y, "dec2_1")
+            y2 = y
+            y = q._qconv(qp, [_up(y, 2), x1], "dec1_0")
+            y = q._qconv(qp, y, "dec1_1")
+            return y, y2, y3, x3
+
+        def m_dec(f):
+            y1, y2, y3, x3 = _dec(q.qparams, f)
+            return sum(t.astype(jnp.float32).sum() for t in (y1, y2, y3, x3))
+
+        def m_dendec(f):
+            y1, y2, y3, x3 = _dec(q.qparams, f)
+            y_den = q._qconv(q.qparams,
+                             [y1, _up(y2, 2), _up(y3, 4)], "den_dec")
+            return (y_den.astype(jnp.float32).sum()
+                    + x3.astype(jnp.float32).sum())
 
         def m_full(f):
             d, c = q._forward(q.qparams, f)
             return d.astype(jnp.float32).sum() + c.astype(jnp.float32).sum()
 
-        stages = [("enc", m_enc), ("full", m_full)]
+        stages = [("enc", m_enc), ("+dec", m_dec), ("+den_dec", m_dendec),
+                  ("full", m_full)]
     else:
         def m_enc(f):
             def run(self, x):
