@@ -28,22 +28,21 @@ from dgvcc_tpu.core.registry import MODELS
 
 # Int8-vs-bf16 crossover for quantize="auto", calibrated from the
 # measured v5e shape x batch grid (BENCH_NOTES.md "Round 5: int8/bf16
-# crossover table"). The decisive axis is the dispatched program's
-# per-chip BATCH dimension, nearly independent of resolution: every
-# measured B>=4 point wins (512^2 1.10x, 768x1024 1.05x, 1088x1920
-# 1.05x at B=4; 1.4-1.6x by B=8-16) and every B<=3 point loses — even
-# a 2.1-Mpx single 1080p frame runs int8 at 0.66x bf16, while a bare
-# int8 conv chain at the same B=1 shape is 2.0x FASTER than bf16
-# (microconv row): the penalty is batch-dependent requantize-chain
-# fusion, not MXU fill. The PER-ELEMENT pixel floor guards the
-# tiny-frame corner: a small frame collapses to single-digit spatial
-# dims in the deep stages (128^2 is 8x8 at stride 16), the same
-# low-fill regime that made low-channel conv sites net-slower
-# (BENCH_NOTES round 3). Floor calibrated by the small-shape sweep
-# (smallgrid rows): 256^2 frames win from B=4 while 128^2 loses at
-# every batch, so the floor sits in (128^2, 256^2] per element.
-AUTO_INT8_MIN_BATCH = 4
-AUTO_INT8_MIN_PIXELS = 65_536  # per element (frame / tile / H-shard)
+# crossover"). After the memory-attention batch-routing fix
+# (models/dg.py::MemoryBank — the fused Pallas kernel integrated
+# pathologically below B=4 and DOMINATED the small-batch int8 numbers,
+# 20.6 ms/frame at 768x1024 B=1), the selective-min_ch int8 graph wins
+# at EVERY measured point: shapes 128^2-1088x1920, batches 1-32,
+# 1.03-2.3x bf16 (B=1 768x1024: 8.0 vs 9.5 ms/frame = 1.19x). The
+# round-4 "int8 loses at B=1" guidance was that bug, not a property of
+# int8 — a bare int8 conv chain runs 2x bf16 even at B=1 (microconv
+# rows). Default law: serve the quantized graph whenever it exists
+# (thresholds 1/0 keep the two-axis machinery in place for future
+# recalibration); per-family site selection (min_ch) already degrades
+# int8-negative families to pure bf16 at build time. An integer
+# auto_threshold opts a deployment into a per-chip-batch rule instead.
+AUTO_INT8_MIN_BATCH = 1
+AUTO_INT8_MIN_PIXELS = 0  # per element (frame / tile / H-shard)
 
 
 class VideoCounter:
@@ -93,15 +92,15 @@ class VideoCounter:
         # it (e.g. 1536) to bound the compile set per unique frame size
         self.tile_size = tile_size
         self.tile_threshold = tile_threshold
-        # quantize="auto": keep BOTH serving graphs and pick per dispatch
-        # by the measured crossover law (see AUTO_INT8_MIN_BATCH above):
-        # int8 once the dispatched program's batch dimension reaches 4
-        # AND the dispatch clears the tiny-frame pixel floor; bf16 for
-        # latency-regime dispatches, where int8 measures 0.6-0.9x bf16
-        # (B<=3 at every resolution up to 1080p — BENCH_NOTES round-5
-        # crossover table). Passing an int `auto_threshold` opts into
-        # the plain per-chip-batch rule at that threshold for callers
-        # that calibrated their own crossover.
+        # quantize="auto": keep BOTH serving graphs, serve fp until the
+        # first batch calibrates the int8 graph, then apply the
+        # measured crossover law (AUTO_INT8_MIN_BATCH above — with the
+        # round-5 constants that is "int8 whenever calibrated": the
+        # selective-int8 graph measured faster at every shape x batch
+        # point once the memory-attention routing bug was fixed).
+        # Passing an int `auto_threshold` opts into a plain
+        # per-chip-batch rule at that threshold for deployments that
+        # calibrated their own crossover.
         if quantize not in (False, True, "auto"):
             raise ValueError(f"quantize must be False, True or 'auto'; "
                              f"got {quantize!r}")

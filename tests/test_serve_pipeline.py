@@ -359,10 +359,12 @@ def test_video_counter_auto_selection_logic():
 
 def test_auto_precision_default_rule_matches_measured_crossover():
     """Default auto rule (auto_threshold=None) applies the measured
-    two-axis law (BENCH_NOTES round-5 crossover table): int8 only when
-    the dispatched program's batch dimension reaches 4 AND the dispatch
-    clears the tiny-frame pixel floor. Every assertion below mirrors a
-    measured grid point (or the floor's bracketing points)."""
+    round-5 crossover law: after the memory-attention batch-routing fix
+    the selective-int8 graph won at EVERY measured shape x batch point
+    (BENCH_NOTES round-5 crossover), so the default serves int8
+    whenever the quantized graph exists. The _dispatch_geometry
+    accounting stays load-bearing (it feeds the thresholds, which a
+    future recalibration or an operator auto_threshold can tighten)."""
     from dgvcc_tpu.serve import (AUTO_INT8_MIN_BATCH,
                                  AUTO_INT8_MIN_PIXELS, VideoCounter)
 
@@ -373,63 +375,47 @@ def test_auto_precision_default_rule_matches_measured_crossover():
     class FakeQ:
         qparams = {"sites": {}}
 
+    # uncalibrated: fp serves everything regardless of the rule
+    b1 = np.zeros((1, 768, 1024, 3), np.uint8)
+    assert vc._select(b1)[0] is vc._infer_fp
+
     vc.quantized, vc._quant_pending = FakeQ(), False
 
-    # measured: 768x1024 loses at B<=3 (0.64-0.91x), wins from B=4
-    b1 = np.zeros((1, 768, 1024, 3), np.uint8)
-    b3 = np.zeros((3, 768, 1024, 3), np.uint8)
+    # measured law: int8 wins at every point incl. B=1 (1.19x at
+    # 768x1024) — every dispatch prefers int8 once calibrated
     b4 = np.zeros((4, 768, 1024, 3), np.uint8)
-    assert vc._dispatch_geometry(b1) == (1, 768 * 1024)
-    assert not vc._prefers_int8(b1)
-    assert not vc._prefers_int8(b3)
-    assert vc._prefers_int8(b4)
-    assert vc._select(b1)[0] is vc._infer_fp
-    assert vc._select(b4)[0] is vc._infer_q
-
-    # measured: a single 2.1-Mpx 1080p frame STILL loses (0.66x) — the
-    # batch axis dominates, pixels alone cannot trigger int8
     giant = np.zeros((1, 1088, 1920, 3), np.uint8)
-    assert not vc._prefers_int8(giant)
+    tiny = np.zeros((8, 128, 128, 3), np.uint8)
+    for frames in (b1, b4, giant, tiny):
+        assert vc._prefers_int8(frames)
+    assert vc._select(b1)[0] is vc._infer_q
+    assert (AUTO_INT8_MIN_BATCH, AUTO_INT8_MIN_PIXELS) == (1, 0)
 
-    # measured floor bracketing (smallgrid rows): 256^2 frames win from
-    # B=4, 128^2 frames lose at every batch -> the PER-ELEMENT floor
-    # separates them (note their per-dispatch totals can be EQUAL:
-    # 4x256^2 == 16x128^2 pixels — only the per-element size divides)
-    assert vc._prefers_int8(np.zeros((4, 256, 256, 3), np.uint8))
-    assert not vc._prefers_int8(np.zeros((16, 128, 128, 3), np.uint8))
-    assert 128 * 128 < AUTO_INT8_MIN_PIXELS <= 256 * 256
-
+    # geometry accounting: batch dim + per-element pixels
+    assert vc._dispatch_geometry(b1) == (1, 768 * 1024)
     # padding rounds UP to the bucket: 1 x 1000x1990 pads to 1024x2048
     ragged = np.zeros((1, 1000, 1990, 3), np.uint8)
     assert vc._dispatch_geometry(ragged) == (1, 1024 * 2048)
 
-    # batch sharding divides the batch dim: 4 frames over 8 chips ->
-    # per-chip batch 1 -> fp
+    # batch sharding divides the batch dim: 4 frames over 8 chips
     vc.n_shards, vc.shard = 8, "batch"
     assert vc._dispatch_geometry(b4) == (1, 768 * 1024)
-    assert not vc._prefers_int8(b4)
-    # spatial sharding keeps the batch dim intact (only rows split):
-    # 8 x 768x1024 over 8 chips is still a batch-8 program per chip
+    # spatial sharding keeps the batch dim intact (only rows split)
     vc.shard = "spatial"
     b8 = np.zeros((8, 768, 1024, 3), np.uint8)
-    bd, epx = vc._dispatch_geometry(b8)
-    assert bd == 8 and epx == (768 // 8) * 1024
-    assert vc._prefers_int8(b8)
-    assert not vc._prefers_int8(b1)  # B=1 spatial: batch dim 1
+    assert vc._dispatch_geometry(b8) == (8, (768 // 8) * 1024)
 
-    # tiled path: tiles ARE the batch dim; 25 tiny tiles pass the batch
-    # axis but each 64^2 tile sits under the per-element floor
+    # tiled path: tiles ARE the batch dim, each tile is one element
     vc.n_shards, vc.shard = 1, "batch"
     vc.tile_size, vc.tile_threshold = 64, 96
     t25 = np.zeros((1, 300, 300, 3), np.uint8)  # 25 tiles of 64^2
     assert vc._dispatch_geometry(t25) == (25, 64 * 64)
-    assert 25 >= AUTO_INT8_MIN_BATCH
-    assert not vc._prefers_int8(t25)
-    # production-size tiles clear both axes: 4 tiles of 768^2
-    vc.tile_size, vc.tile_threshold = 768, 1024
-    t4 = np.zeros((1, 1536, 1536, 3), np.uint8)
-    assert vc._dispatch_geometry(t4) == (4, 768 * 768)
-    assert vc._prefers_int8(t4)
+
+    # an explicit integer auto_threshold restores a batch-based rule
+    vc.auto_threshold, vc.tile_size = 4, 0
+    assert not vc._prefers_int8(b1)
+    assert vc._select(b1)[0] is vc._infer_fp
+    assert vc._prefers_int8(b8)
 
 
 def test_dispatch_batch_accounts_for_mesh_sharding():
