@@ -253,6 +253,36 @@ def main():
     sg_variant("sg_enc_all", {"enc1", "enc2", "enc3"},
                "encoder fwd only; bwd covers decoder+heads+chain")
 
+    # --- memory-bank training cost (fwd+bwd of the two-view attention
+    # + consistency loss): MemoryBank -> identity with zero logits.
+    # The (B, P, S) f32 logits of BOTH views (and their softmax/JSD/
+    # backward rematerializations) vanish, so the delta bounds what a
+    # logits-free fused training kernel could recover.
+    def mem_identity(tag="mem_identity"):
+        if want and tag not in want:
+            return
+        from dgvcc_tpu.models.dg import MemoryBank
+
+        orig = MemoryBank.__call__
+
+        def patched(self, y, need_logits=True):
+            # logits stand-in: (B, 1, 1) zeros — jsd/consistency
+            # constant-folds, attention disappears
+            return y, jnp.zeros((y.shape[0], 1, 1), jnp.float32)
+
+        try:
+            MemoryBank.__call__ = patched
+            emit(tag, timed(full_step(), state),
+                 "memory attention + consistency loss removed")
+        except Exception as e:
+            print(json.dumps({"row": tag,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+        finally:
+            MemoryBank.__call__ = orig
+
+    mem_identity()
+
     # --- XLA cost analysis of the full step ---------------------------
     if not want or "cost" in want:
         try:
