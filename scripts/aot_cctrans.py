@@ -106,14 +106,38 @@ def do_run(out: str, shapes):
             frames = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
             try:
                 t0 = time.time()
-                counter.count_frames(frames)  # compile/upload + warm
+                c = counter.count_frames(frames)  # compile/upload + warm
                 warm = time.time() - t0
+                # compute-bound protocol (same as the jit-path rows):
+                # device-resident inputs, K exported-program calls fused
+                # per dispatch via scan (a count-derived zero perturbs
+                # the carried frames so the call cannot hoist),
+                # readback-synced, RTT-subtracted
+                _, prog = counter._resolve(b, h, w)
+                fd = jax.device_put(frames)
+                vd = jax.device_put(np.tile(np.int32([h, w]), (b, 1)))
+                K = 4
+
+                @jax.jit
+                def run_k(w, f, v):
+                    # weights as an ARGUMENT: closed-over they become
+                    # HLO constants and the compile request ships the
+                    # whole 200 MB bank — the same relay HTTP 413 the
+                    # round-4 jit path hit
+                    def body(f, _):
+                        counts = prog(w, f, v)
+                        bump = (counts[0] * 0).astype(jnp.uint8)
+                        return f + bump, counts[0]
+                    _, cs = jax.lax.scan(body, f, None, length=K)
+                    return cs.sum()
+
+                float(run_k(counter.weights, fd, vd))
                 ts = []
-                for _ in range(7):
+                for _ in range(5):
                     t0 = time.perf_counter()
-                    c = counter.count_frames(frames)
+                    float(run_k(counter.weights, fd, vd))
                     ts.append(time.perf_counter() - t0)
-                dt = max(float(np.median(ts)) - rtt, 1e-6)
+                dt = max(float(np.median(ts)) - rtt, 1e-6) / K
                 print(json.dumps({
                     "row": "fps", "precision": tag,
                     "shape": f"{h}x{w}", "B": b,
