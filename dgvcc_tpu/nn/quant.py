@@ -334,9 +334,12 @@ class QuantizedDG:
             mem = qparams["mem"]
             b, h, w, k = y_den.shape
             y_flat = y_den.reshape(b, h * w, k)
-            # batch-conditional like MemoryBank: the fused kernel
-            # integrates slower below B=4 (measured, BENCH_NOTES r5)
-            if self.fused_mem and b >= 4:
+            # batch-conditional like MemoryBank, but the INT8 graph's
+            # crossover sits higher: at B=4 the custom call costs the
+            # surrounding requantize chains more than it saves (9.46
+            # fused vs 6.84 einsum ms/frame at 768x1024; fused wins
+            # from B=8: 5.65 vs 6.76 — BENCH_NOTES round 5)
+            if self.fused_mem and b >= 8:
                 from dgvcc_tpu.ops.mem_attention import memory_attention_fused
                 y_flat = memory_attention_fused(y_flat, mem)
             else:
