@@ -36,13 +36,17 @@ from dgvcc_tpu.core.registry import MODELS
 # 1.03-2.3x bf16 (B=1 768x1024: 8.0 vs 9.5 ms/frame = 1.19x). The
 # round-4 "int8 loses at B=1" guidance was that bug, not a property of
 # int8 — a bare int8 conv chain runs 2x bf16 even at B=1 (microconv
-# rows). Default law: serve the quantized graph whenever it exists
-# (thresholds 1/0 keep the two-axis machinery in place for future
-# recalibration); per-family site selection (min_ch) already degrades
+# rows). Default law: serve the quantized graph for any element of
+# 256^2 or larger. Below the per-element floor the measured tail is
+# CHAOTIC (XLA picks shape-specific conv lowerings: 128^2 int8 wins
+# 2.3x at B=8 but loses 2.6x at B=4 and 0.9x at B=1 — sub-millisecond
+# dispatches either way), so tiny elements stay bf16: the worst
+# forgone win there is ~0.2 ms/dispatch while the avoided loss is
+# ~1.1 ms. Per-family site selection (min_ch) separately degrades
 # int8-negative families to pure bf16 at build time. An integer
 # auto_threshold opts a deployment into a per-chip-batch rule instead.
 AUTO_INT8_MIN_BATCH = 1
-AUTO_INT8_MIN_PIXELS = 0  # per element (frame / tile / H-shard)
+AUTO_INT8_MIN_PIXELS = 65_536  # per element (frame / tile / H-shard)
 
 
 class VideoCounter:

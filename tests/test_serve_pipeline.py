@@ -381,15 +381,19 @@ def test_auto_precision_default_rule_matches_measured_crossover():
 
     vc.quantized, vc._quant_pending = FakeQ(), False
 
-    # measured law: int8 wins at every point incl. B=1 (1.19x at
-    # 768x1024) — every dispatch prefers int8 once calibrated
+    # measured law: int8 wins at every >=256^2 point incl. B=1 (1.19x
+    # at 768x1024); elements under the 256^2 floor stay bf16 (the tail
+    # is chaotic: 128^2 int8 loses 2.6x at B=4, wins 2.3x at B=8 —
+    # sub-ms dispatches either way, so the rule avoids the loss)
     b4 = np.zeros((4, 768, 1024, 3), np.uint8)
     giant = np.zeros((1, 1088, 1920, 3), np.uint8)
+    small = np.zeros((4, 256, 256, 3), np.uint8)
     tiny = np.zeros((8, 128, 128, 3), np.uint8)
-    for frames in (b1, b4, giant, tiny):
+    for frames in (b1, b4, giant, small):
         assert vc._prefers_int8(frames)
+    assert not vc._prefers_int8(tiny)
     assert vc._select(b1)[0] is vc._infer_q
-    assert (AUTO_INT8_MIN_BATCH, AUTO_INT8_MIN_PIXELS) == (1, 0)
+    assert (AUTO_INT8_MIN_BATCH, AUTO_INT8_MIN_PIXELS) == (1, 65_536)
 
     # geometry accounting: batch dim + per-element pixels
     assert vc._dispatch_geometry(b1) == (1, 768 * 1024)
