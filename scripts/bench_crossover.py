@@ -139,7 +139,8 @@ def main(selected):
     K = 4
 
     if want("grid"):
-        from dgvcc_tpu.serve import AUTO_INT8_MIN_PIXELS
+        from dgvcc_tpu.serve import (AUTO_INT8_MIN_BATCH,
+                                     AUTO_INT8_MIN_PIXELS)
 
         for (H, W), batches in GRID:
             for B in batches:
@@ -156,7 +157,9 @@ def main(selected):
                               "error": f"{type(e).__name__}: {e}"[:200]})
                 if len(res) == 2:
                     px = B * H * W
-                    auto_pick = ("int8" if px >= AUTO_INT8_MIN_PIXELS
+                    auto_pick = ("int8"
+                                 if (B >= AUTO_INT8_MIN_BATCH
+                                     and H * W >= AUTO_INT8_MIN_PIXELS)
                                  else "bf16")
                     faster = min(res, key=res.get)
                     emit({"row": "grid", "shape": f"{H}x{W}", "B": B,
