@@ -1,11 +1,14 @@
 """Int8-vs-bf16 serving crossover table (VERDICT r4 item 1).
 
 Measures DGModel 'final' serving fps at a (shape x batch) grid in both
-precisions on the real chip, plus weight-only-int8 rows and a
-single-conv microbenchmark that attributes the small-batch int8
-penalty. Each grid point also reports whether serve.py's shape-aware
-auto rule (AUTO_INT8_MIN_PIXELS pixels per dispatch) picks the
-measured-faster graph.
+precisions on the real chip, plus a tiny-shape floor sweep
+(smallgrid), weight-only-int8 rows, and a single-conv microbenchmark.
+Each grid point also reports whether serve.py's auto rule (batch dim
+>= AUTO_INT8_MIN_BATCH and per-element pixels >=
+AUTO_INT8_MIN_PIXELS) picks the measured-faster graph. This grid
+drove the round-5 findings: the fused-attention batch routing bug,
+the "int8 wins everywhere >=256^2" law, and the chaotic sub-256^2
+tail (BENCH_NOTES round 5).
 
 Protocol identical to bench.py / bench_debt.py: K dispatches fused in
 one jit via lax.scan, readback-synced, relay-RTT subtracted, median
