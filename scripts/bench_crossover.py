@@ -133,11 +133,20 @@ def main(selected):
             return cs
         return infer_k
 
-    variants = {
-        "bf16": (infer_k_factory(lambda v, f: model.apply(v, f), 4),
-                 variables),
-        "int8": (infer_k_factory(q._forward, 4), q.qparams),
-    }
+    def variants_for(K):
+        return {
+            "bf16": (infer_k_factory(lambda v, f: model.apply(v, f), K),
+                     variables),
+            "int8": (infer_k_factory(q._forward, K), q.qparams),
+        }
+
+    def pick_k(B, H, W):
+        # keep each timed dispatch well above the relay RTT (~25-30 ms)
+        # or small-point medians flap on noise (the 512^2 B=1 flip,
+        # BENCH_NOTES round 5): ~8 us/Mpx-frame-equivalent floor
+        est_ms = B * H * W * 1.2e-5
+        return int(min(64, max(4, round(150.0 / max(est_ms, 0.5)))))
+
     wo_fwd = infer_k_factory(q_wo._forward, 4)
     K = 4
 
@@ -149,11 +158,12 @@ def main(selected):
             for B in batches:
                 frames = jnp.asarray(
                     rng.normal(size=(B, H, W, 3)), jnp.bfloat16)
+                Kp = pick_k(B, H, W)
                 res = {}
-                for prec, (fn, arg) in variants.items():
+                for prec, (fn, arg) in variants_for(Kp).items():
                     try:
                         dt = timed(fn, arg, frames)
-                        res[prec] = dt / (B * K) * 1e3  # ms/frame
+                        res[prec] = dt / (B * Kp) * 1e3  # ms/frame
                     except Exception as e:
                         emit({"row": "grid", "shape": f"{H}x{W}", "B": B,
                               "prec": prec,
@@ -183,10 +193,11 @@ def main(selected):
             for B in batches:
                 frames = jnp.asarray(
                     rng.normal(size=(B, H, W, 3)), jnp.bfloat16)
+                Kp = pick_k(B, H, W)
                 res = {}
-                for prec, (fn, arg) in variants.items():
+                for prec, (fn, arg) in variants_for(Kp).items():
                     dt = timed(fn, arg, frames)
-                    res[prec] = dt / (B * K) * 1e3
+                    res[prec] = dt / (B * Kp) * 1e3
                 emit({"row": "smallgrid", "shape": f"{H}x{W}", "B": B,
                       "px_per_dispatch": B * H * W,
                       "bf16_ms_per_frame": round(res["bf16"], 3),
