@@ -976,4 +976,17 @@ def build_quantized(model, variables, calib_frames, dtype=jnp.bfloat16,
         if min(cin, cout) < min_ch:
             continue  # stays bf16 (requant overhead beats the MXU win)
         scales[k] = max(v, 1e-12) / 127.0
-    return QuantizedConvNet(folded, scales, fwd_fn, fp_sites, dtype=dtype)
+    qn = QuantizedConvNet(folded, scales, fwd_fn, fp_sites, dtype=dtype)
+    from dgvcc_tpu.models.baselines.cctrans import ALTGVT as _ALTGVT
+
+    if isinstance(model, _ALTGVT):
+        # the ViT behaves unlike the conv families at small batch:
+        # measured at 768x1024 B=1 its int8 graph runs 0.68x bf16
+        # (28.4 vs 19.4 ms/frame — the fp attention/LayerNorm glue
+        # can't amortize the projection requant chains) while at B=8
+        # it wins 1.10-1.16x. quantize="auto" honors this floor
+        # (serve.py::_prefers_int8); the conv families win at every
+        # batch incl. 1 (DG 1.19x, csrnet 1.26x, sasnet 1.10x,
+        # dssinet 1.29x — BENCH_NOTES round 5) and keep the default.
+        qn.int8_min_batch = 8
+    return qn

@@ -332,13 +332,28 @@ class VideoCounter:
 
     def _prefers_int8(self, frames: np.ndarray) -> bool:
         """The auto-precision decision for this dispatch. Default: the
-        measured two-axis law (batch_dim >= 4 AND per-element pixels
-        above the tiny-frame floor); explicit int auto_threshold:
-        legacy per-chip-batch rule."""
+        measured law — int8 once the dispatch clears the global batch/
+        per-element-pixel floors AND the graph's own per-family batch
+        floor (`int8_min_batch`: 8 for the CCTrans ViT, whose int8
+        graph measured 0.68x bf16 at B=1 while every conv family wins
+        there — nn/quant.py::build_quantized). Explicit int
+        auto_threshold: legacy per-chip-batch rule."""
         if self.auto_threshold is not None:
             return self._dispatch_batch(frames) >= self.auto_threshold
         bd, epx = self._dispatch_geometry(frames)
-        return bd >= AUTO_INT8_MIN_BATCH and epx >= AUTO_INT8_MIN_PIXELS
+        min_bd = max(AUTO_INT8_MIN_BATCH, self._family_min_batch())
+        return bd >= min_bd and epx >= AUTO_INT8_MIN_PIXELS
+
+    def _family_min_batch(self) -> int:
+        """Pre-calibration the graph attr doesn't exist yet, so derive
+        the family floor from the model class too — a latency-regime
+        CCTrans stream must not pay fold+calibrate for a graph the
+        rule would never dispatch."""
+        if self.quantized is not None:
+            return getattr(self.quantized, "int8_min_batch", 1)
+        from dgvcc_tpu.models.baselines.cctrans import ALTGVT
+
+        return 8 if isinstance(self.model, ALTGVT) else 1
 
     def _select(self, frames: np.ndarray):
         """(infer, infer_tiled, weights) for this dispatch. Non-auto:

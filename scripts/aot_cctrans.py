@@ -54,6 +54,7 @@ def do_export(out: str):
         counter = VideoCounter(model, variables, quantize=quant,
                                calib_frames=calib if quant else None)
         doc = export_serving(counter, shapes=[(8, 512, 512),
+                                              (1, 768, 1024),
                                               (8, 768, 1024)],
                              platforms=["tpu", "cpu"])
         path = os.path.join(out, f"cctrans_{tag}.aot")

@@ -482,3 +482,61 @@ def test_cli_serve_rejects_artifact_with_auto(tmp_path):
     cfg = load_config(_write_tiny_cfg(tmp_path))
     with pytest.raises(SystemExit, match="auto"):
         _build_counter(cfg, quantize="auto", artifact="whatever.npz")
+
+
+def test_auto_precision_family_floor_cctrans():
+    """The ViT's int8 graph loses at B=1 (0.68x measured) while every
+    conv family wins there — build_quantized attaches int8_min_batch=8
+    to CCTrans graphs and auto honors it pre- and post-calibration."""
+    from dgvcc_tpu.serve import VideoCounter
+
+    vc = VideoCounter.from_checkpoint(
+        "cctrans", None, dtype=jnp.float32, quantize="auto",
+        embed_dims=(16, 32, 64, 128), num_heads=(1, 2, 4, 8),
+        depths=(1, 1, 1, 1), wss=(2, 2, 2, 2), sr_ratios=(8, 4, 2, 1))
+    b1 = np.zeros((1, 768, 1024, 3), np.uint8)
+    b8 = np.zeros((8, 768, 1024, 3), np.uint8)
+    # pre-calibration: the family floor comes from the model class, so
+    # a B=1 stream never pays fold+calibrate
+    assert vc._family_min_batch() == 8
+    assert not vc._prefers_int8(b1)
+    assert vc._prefers_int8(b8)
+    vc._maybe_calibrate(b1)
+    assert vc.quantized is None  # calibration correctly deferred
+
+    class FakeQ:
+        qparams = {"sites": {}}
+        int8_min_batch = 8
+
+    vc.quantized, vc._quant_pending = FakeQ(), False
+    assert not vc._prefers_int8(b1)   # post-calibration: graph attr
+    assert vc._select(b1)[0] is vc._infer_fp
+    assert vc._select(b8)[0] is vc._infer_q
+
+
+def test_build_quantized_attaches_cctrans_batch_floor(tmp_path):
+    """build_quantized marks ALTGVT graphs int8_min_batch=8; conv
+    families keep the default."""
+    from dgvcc_tpu.core.registry import MODELS
+    import dgvcc_tpu.models  # noqa: F401
+    from dgvcc_tpu.nn.quant import build_quantized
+
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+
+    m = MODELS.build("cctrans", dtype=jnp.float32,
+                     embed_dims=(16, 32, 64, 128), num_heads=(1, 2, 4, 8),
+                     depths=(1, 1, 1, 1), wss=(2, 2, 2, 2),
+                     sr_ratios=(8, 4, 2, 1))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)},
+               jnp.zeros((1, 64, 64, 3), jnp.float32))
+    q = build_quantized(m, v, calib, dtype=jnp.float32)
+    assert getattr(q, "int8_min_batch", 1) == 8
+
+    m2 = MODELS.build("mcnn", dtype=jnp.float32)
+    v2 = m2.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)},
+                 jnp.zeros((1, 64, 64, 3), jnp.float32))
+    q2 = build_quantized(m2, v2, calib, dtype=jnp.float32)
+    assert getattr(q2, "int8_min_batch", 1) == 1
