@@ -253,6 +253,33 @@ def main():
     sg_variant("sg_enc_all", {"enc1", "enc2", "enc3"},
                "encoder fwd only; bwd covers decoder+heads+chain")
 
+    # --- decoder bwd isolation: stop_gradient on forward_fe's outputs
+    # (y_cat AND x3) kills encoder+decoder+concat/upsample backward but
+    # keeps the heads/memory/chain backward; sg_enc_all minus this =
+    # the decoder-side backward alone.
+    def sg_fe(tag="sg_fe"):
+        if want and tag not in want:
+            return
+        orig_fe = dgmod.DGModel.forward_fe
+
+        def patched_fe(self, x, train=False):
+            y_cat, x3 = orig_fe(self, x, train)
+            return (jax.lax.stop_gradient(y_cat),
+                    jax.lax.stop_gradient(x3))
+
+        try:
+            dgmod.DGModel.forward_fe = patched_fe
+            emit(tag, timed(full_step(), state),
+                 "no bwd through encoder+decoder (heads/mem/chain only)")
+        except Exception as e:
+            print(json.dumps({"row": tag,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+        finally:
+            dgmod.DGModel.forward_fe = orig_fe
+
+    sg_fe()
+
     # --- memory-bank training cost (fwd+bwd of the two-view attention
     # + consistency loss): MemoryBank -> identity with zero logits.
     # The (B, P, S) f32 logits of BOTH views (and their softmax/JSD/
